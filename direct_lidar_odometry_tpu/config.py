@@ -1,0 +1,237 @@
+"""Typed configuration tree for the TPU DLO pipeline.
+
+Mirrors the reference's parameter names and defaults so that runs are
+comparable knob-for-knob:
+
+- reference ``cfg/dlo.yaml:10-25``   (high-level toggles)
+- reference ``cfg/params.yaml:10-71`` (pipeline numerics)
+- reference ``src/dlo/odom.cc:182-260`` (``getParams`` defaults)
+- reference ``impl/lsq_registration_impl.hpp:49-63`` (optimizer defaults)
+
+On top of the algorithmic knobs, :class:`ShapeConfig` adds the TPU-specific
+static-shape budget (XLA needs fixed shapes; the reference gets dynamic
+sizes for free from ``std::vector``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+import yaml
+
+
+@dataclass(frozen=True)
+class CropBoxConfig:
+    """Inverse crop box removing the robot body near the sensor.
+
+    Reference: ``odom.cc:122-124`` (setNegative(true), box = [-size, +size]^3),
+    params at ``cfg/params.yaml:26-28``.
+    """
+
+    use: bool = True
+    size: float = 1.0
+
+
+@dataclass(frozen=True)
+class VoxelFilterConfig:
+    """PCL-style centroid voxel grid (``odom.cc:126-127``)."""
+
+    use: bool = True
+    res: float = 0.25
+
+
+@dataclass(frozen=True)
+class PreprocessingConfig:
+    """Scan preprocessing (reference ``odom.cc:443-465``)."""
+
+    crop: CropBoxConfig = field(default_factory=CropBoxConfig)
+    voxel_scan: VoxelFilterConfig = field(default_factory=VoxelFilterConfig)
+    voxel_submap: VoxelFilterConfig = field(
+        default_factory=lambda: VoxelFilterConfig(use=True, res=0.5)
+    )
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe spawn thresholds (``cfg/params.yaml:38-40``, ``odom.cc:203-204``)."""
+
+    thresh_dist: float = 5.0  # meters; overridden adaptively when adaptive=True
+    thresh_rot: float = 45.0  # degrees
+
+
+@dataclass(frozen=True)
+class SubmapConfig:
+    """Submap keyframe selection counts (``cfg/params.yaml:42-46``)."""
+
+    knn: int = 10  # k nearest keyframes by pose distance
+    kcv: int = 10  # k nearest among convex-hull keyframes
+    kcc: int = 10  # k nearest among concave-hull keyframes
+
+
+@dataclass(frozen=True)
+class ImuConfig:
+    """IMU usage and calibration (``cfg/dlo.yaml:16``, ``cfg/params.yaml:48-50``)."""
+
+    use: bool = False
+    calib_time: float = 3.0  # seconds of static gyro/accel averaging
+    buffer_size: int = 2000  # reference circular buffer depth (odom.h:166)
+
+
+@dataclass(frozen=True)
+class GicpStageConfig:
+    """Per-stage GICP parameters — one instance for S2S, one for S2M.
+
+    Reference: ``cfg/params.yaml:52-71``, applied at ``odom.cc:100-114``.
+    ``rotation_epsilon`` is the LsqRegistration default (2e-3,
+    ``lsq_registration_impl.hpp:53``) which the reference never overrides.
+    """
+
+    k_correspondences: int = 10
+    max_correspondence_distance: float = 1.0
+    max_iterations: int = 32
+    transformation_epsilon: float = 0.01
+    rotation_epsilon: float = 2e-3
+    # Levenberg-Marquardt knobs (lsq_registration_impl.hpp:57-60)
+    optimizer: str = "lm"  # "lm" (reference default) or "gn"
+    lm_max_iterations: int = 10
+    lm_init_lambda_factor: float = 1e-9
+
+
+@dataclass(frozen=True)
+class GicpConfig:
+    min_num_points: int = 10  # scan rejection threshold (odom.cc:638-641)
+    s2s: GicpStageConfig = field(
+        default_factory=lambda: GicpStageConfig(
+            k_correspondences=10, max_correspondence_distance=1.0
+        )
+    )
+    s2m: GicpStageConfig = field(
+        default_factory=lambda: GicpStageConfig(
+            k_correspondences=20, max_correspondence_distance=0.5
+        )
+    )
+
+
+@dataclass(frozen=True)
+class AdaptiveConfig:
+    """Spaciousness-adaptive keyframe threshold (``odom.cc:990-1010, 1188-1204``).
+
+    Spaciousness = low-pass filtered median point range:
+    ``s_t = 0.95 * s_{t-1} + 0.05 * median(range)``; mapped onto the
+    keyframe distance threshold by the reference's step function.
+    """
+
+    use: bool = True
+    lpf_alpha: float = 0.95
+    # (spaciousness lower bound, threshD) steps, reference odom.cc:1188-1199
+    # s > 20 -> 10.0 ; 10 < s <= 20 -> 5.0 ; 5 < s <= 10 -> 1.0 ; s <= 5 -> 0.5
+
+
+@dataclass(frozen=True)
+class InitialPoseConfig:
+    """Optional known start pose (``odom.cc:600-617``, ``cfg/params.yaml:14-24``)."""
+
+    use: bool = False
+    position: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    orientation_wxyz: tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Map aggregation node equivalent (``cfg/dlo.yaml:23-25``, ``map.cc:100-131``)."""
+
+    publish_freq: float = 1.0
+    leaf_size: float = 0.25
+
+
+@dataclass(frozen=True)
+class ShapeConfig:
+    """Static-shape budget — the TPU-specific part of the config.
+
+    Every array in the jitted per-frame step has a fixed shape drawn from
+    here; actual sizes are tracked with validity masks. These defaults suit
+    KITTI-class 64-beam data; tests shrink them.
+    """
+
+    n_scan: int = 32768        # max points in a preprocessed scan
+    n_keyframe: int = 16384    # max points in a stored (submap-voxeled) keyframe
+    max_keyframes: int = 512   # keyframe ring capacity
+    max_submap_kf: int = 32    # max keyframes concatenated into the submap
+                               # (reference cap is knn+kcv+kcc = 30 pre-dedup)
+    imu_window: int = 256      # max IMU samples between consecutive scans
+    # hash-grid neighbor search shape knobs
+    grid_table_size: int = 2 ** 16   # hash table slots for scan-sized grids
+    submap_table_size: int = 2 ** 18 # hash table slots for the submap grid
+    cell_cap_1nn: int = 16     # candidates gathered per cell for 1-NN queries
+    cell_cap_knn: int = 48     # candidates gathered per cell for k-NN (cov) queries
+    knn_query_chunk: int = 4096  # query chunking for the kNN candidate tensor
+    # hull surrogate directions (device-side convex-extremal membership)
+    hull_directions: int = 64
+
+
+@dataclass(frozen=True)
+class DloConfig:
+    """Root configuration, mirroring reference ``cfg/dlo.yaml`` + ``cfg/params.yaml``."""
+
+    version: str = "0.1.0"
+    adaptive: AdaptiveConfig = field(default_factory=AdaptiveConfig)
+    gravity_align: bool = False  # cfg/dlo.yaml:17 (needs IMU)
+    initial_pose: InitialPoseConfig = field(default_factory=InitialPoseConfig)
+    preprocessing: PreprocessingConfig = field(default_factory=PreprocessingConfig)
+    keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
+    submap: SubmapConfig = field(default_factory=SubmapConfig)
+    imu: ImuConfig = field(default_factory=ImuConfig)
+    gicp: GicpConfig = field(default_factory=GicpConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    shapes: ShapeConfig = field(default_factory=ShapeConfig)
+
+    def replace(self, **kw: Any) -> "DloConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _build(cls, data: Mapping[str, Any]):
+    """Recursively build a dataclass from a nested mapping (unknown keys rejected)."""
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for key, value in data.items():
+        if key not in fields:
+            raise KeyError(f"unknown config key {key!r} for {cls.__name__}")
+        ftype = fields[key].type
+        # resolve the dataclass type of nested fields from the default factory
+        default = fields[key].default_factory() if fields[key].default_factory is not dataclasses.MISSING else None  # type: ignore[misc]
+        if dataclasses.is_dataclass(default) and isinstance(value, Mapping):
+            kwargs[key] = _build(type(default), value)
+        elif isinstance(value, list):
+            kwargs[key] = tuple(value)
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+def load_config(path: str | None = None, overrides: Mapping[str, Any] | None = None) -> DloConfig:
+    """Load a :class:`DloConfig` from a YAML file plus dotted-key overrides.
+
+    The YAML schema is this module's dataclass tree (see ``cfg/tpu_dlo.yaml``),
+    the functional equivalent of the reference's two-file ROS-param scheme
+    (``launch/dlo.launch:22-23,41``).
+    """
+    data: dict[str, Any] = {}
+    if path is not None:
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+    cfg = _build(DloConfig, data)
+    if overrides:
+        for dotted, value in overrides.items():
+            cfg = _override(cfg, dotted.split("."), value)
+    return cfg
+
+
+def _override(node, keys, value):
+    if len(keys) == 1:
+        if isinstance(value, list):
+            value = tuple(value)
+        return dataclasses.replace(node, **{keys[0]: value})
+    child = getattr(node, keys[0])
+    return dataclasses.replace(node, **{keys[0]: _override(child, keys[1:], value)})

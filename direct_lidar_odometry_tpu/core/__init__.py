@@ -1,0 +1,1 @@
+from direct_lidar_odometry_tpu.core import se3, cloud  # noqa: F401

@@ -1,0 +1,84 @@
+"""Fixed-shape masked point clouds.
+
+XLA requires static shapes, so where the reference uses dynamically sized
+``pcl::PointCloud`` containers (``dlo/dlo.h:50``), this framework carries
+``points: f32[N, 3]`` plus ``mask: bool[N]`` with a static capacity ``N`` and
+keeps valid points *compacted to the front* (an invariant the kernels in
+``ops/`` preserve so candidate caps and prefix reads stay meaningful).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class PointCloud(NamedTuple):
+    """points: f32[N, 3]; mask: bool[N]. Invalid slots hold PAD_VALUE."""
+
+    points: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[-2]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.mask.astype(jnp.int32), axis=-1)
+
+
+# Padding coordinate for invalid slots: far outside any plausible scene so
+# padded points can never be spurious nearest neighbors even if a mask is
+# dropped somewhere.
+PAD_VALUE = 1e6
+
+
+def make_cloud(points: jnp.ndarray, mask: jnp.ndarray | None = None) -> PointCloud:
+    if mask is None:
+        mask = jnp.ones(points.shape[:-1], dtype=bool)
+    points = jnp.where(mask[..., None], points, PAD_VALUE)
+    return PointCloud(points=points.astype(jnp.float32), mask=mask)
+
+
+def from_numpy(points: np.ndarray, capacity: int) -> PointCloud:
+    """Pad/truncate an [M, 3] numpy array into a capacity-N cloud (host side)."""
+    points = np.asarray(points, dtype=np.float32)
+    m = min(points.shape[0], capacity)
+    out = np.full((capacity, 3), PAD_VALUE, dtype=np.float32)
+    out[:m] = points[:m]
+    mask = np.zeros((capacity,), dtype=bool)
+    mask[:m] = True
+    return PointCloud(points=jnp.asarray(out), mask=jnp.asarray(mask))
+
+
+def to_numpy(cloud: PointCloud) -> np.ndarray:
+    """Extract the valid points as a dense [M, 3] numpy array (host side)."""
+    pts = np.asarray(cloud.points)
+    mask = np.asarray(cloud.mask)
+    return pts[mask]
+
+
+def compact(cloud: PointCloud) -> PointCloud:
+    """Move valid points to the front (stable), padding the tail.
+
+    Equivalent role to ``pcl::removeNaNFromPointCloud``'s compaction
+    (reference ``odom.cc:451``) but as a sort-by-invalid permutation.
+    """
+    # stable argsort of ~mask keeps relative order of valid points
+    order = jnp.argsort(~cloud.mask, stable=True)
+    points = cloud.points[order]
+    mask = cloud.mask[order]
+    points = jnp.where(mask[..., None], points, PAD_VALUE)
+    return PointCloud(points=points, mask=mask)
+
+
+def concat_clouds(clouds: list[PointCloud], capacity: int | None = None) -> PointCloud:
+    """Concatenate along the point axis (masks preserved; not compacted)."""
+    points = jnp.concatenate([c.points for c in clouds], axis=-2)
+    mask = jnp.concatenate([c.mask for c in clouds], axis=-1)
+    out = PointCloud(points=points, mask=mask)
+    if capacity is not None and out.capacity != capacity:
+        raise ValueError(f"concat capacity {out.capacity} != requested {capacity}")
+    return out

@@ -1,0 +1,71 @@
+"""Voxel-grid centroid downsampling as a sort/segment-mean kernel.
+
+Replaces ``pcl::VoxelGrid`` (reference ``odom.cc:126-127, 459-463``;
+``map.cc:100-105``) with a TPU-friendly pipeline:
+
+1. quantize points to integer voxel coords relative to the cloud min corner;
+2. linearize to a collision-free int32 id (grid extents clamped to 1024^3
+   cells, i.e. 256 m at 0.25 m resolution — beyond-extent points are capped
+   into edge cells, matching PCL's bounded-bbox behavior closely enough);
+3. sort by id (single radix sort — the only O(N log N) step);
+4. mark segment starts, compact segment slots by prefix-sum, and
+   scatter-add points into per-voxel accumulators;
+5. centroid = sum / count, emitted compacted-to-front.
+
+Output order is voxel-id order (ascending), which also matches PCL's
+leaf-iteration order, so oracle comparisons can sort both sides identically.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from direct_lidar_odometry_tpu.core.cloud import PAD_VALUE, PointCloud
+
+_GRID_DIM = 1024  # cells per axis; 1024^3 < 2^31 keeps linear ids in int32
+
+
+def voxel_ids(points: jnp.ndarray, mask: jnp.ndarray, res: float) -> jnp.ndarray:
+    """Collision-free linear voxel id per point; invalid points get INT32_MAX."""
+    # min corner over valid points only
+    big = jnp.asarray(PAD_VALUE, points.dtype)
+    masked = jnp.where(mask[..., None], points, big)
+    origin = jnp.min(masked, axis=-2, keepdims=True)
+    coords = jnp.floor((points - origin) / res).astype(jnp.int32)
+    coords = jnp.clip(coords, 0, _GRID_DIM - 1)
+    ids = coords[..., 0] + _GRID_DIM * (coords[..., 1] + _GRID_DIM * coords[..., 2])
+    return jnp.where(mask, ids, jnp.iinfo(jnp.int32).max)
+
+
+def voxel_downsample(
+    cloud: PointCloud, res: float, out_capacity: int | None = None
+) -> PointCloud:
+    """Centroid voxel filter. Output is compacted to the front.
+
+    ``out_capacity`` defaults to the input capacity. If more voxels are
+    occupied than ``out_capacity``, the lowest-id voxels win (deterministic).
+    """
+    n = cloud.capacity
+    cap = out_capacity or n
+    ids = voxel_ids(cloud.points, cloud.mask, res)
+    order = jnp.argsort(ids)  # invalid (INT32_MAX) sort to the end
+    sids = ids[order]
+    spts = cloud.points[order]
+    svalid = cloud.mask[order]
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sids[1:] != sids[:-1]], axis=0
+    ) & svalid
+    slot = jnp.cumsum(first.astype(jnp.int32)) - 1  # segment index per point
+    slot = jnp.where(svalid, slot, cap)  # out-of-range -> dropped by scatter
+
+    sums = jnp.zeros((cap, 3), dtype=jnp.float32).at[slot].add(
+        spts, mode="drop"
+    )
+    counts = jnp.zeros((cap,), dtype=jnp.float32).at[slot].add(
+        jnp.ones((n,), jnp.float32), mode="drop"
+    )
+    out_mask = counts > 0
+    centroids = sums / jnp.maximum(counts, 1.0)[..., None]
+    centroids = jnp.where(out_mask[..., None], centroids, PAD_VALUE)
+    return PointCloud(points=centroids, mask=out_mask)
