@@ -155,6 +155,7 @@ class ShapeConfig:
     KITTI-class 64-beam data; tests shrink them.
     """
 
+    n_raw: int = 131072        # max points in a raw input scan
     n_scan: int = 32768        # max points in a preprocessed scan
     n_keyframe: int = 16384    # max points in a stored (submap-voxeled) keyframe
     max_keyframes: int = 512   # keyframe ring capacity

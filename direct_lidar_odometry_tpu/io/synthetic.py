@@ -53,15 +53,25 @@ def make_world(
     speed: float = 1.2,
     dt: float = 0.1,
     yaw_rate: float = 0.15,
+    ground_points: int = 40000,
 ) -> SyntheticWorld:
-    """Build a world and a smooth wandering trajectory through it."""
+    """Build a world and a smooth wandering trajectory through it.
+
+    NOTE on scan overlap: consecutive scans rendered from this world see
+    the *same* surface points (plus noise) wherever their ranges overlap —
+    like a real LiDAR densely sampling continuous surfaces. Keep the world
+    dense enough (ground_points/density vs extent) that
+    :func:`render_scan`'s ``max_points`` does NOT force random
+    subsampling, otherwise scans become near-disjoint sparse subsets and
+    scan-to-map matching at realistic radii breaks down.
+    """
     surf = [
         # ground plane as a thin grid of points
         np.stack(
             [
-                rng.uniform(-extent, extent, size=40000),
-                rng.uniform(-extent, extent, size=40000),
-                np.zeros(40000),
+                rng.uniform(-extent, extent, size=ground_points),
+                rng.uniform(-extent, extent, size=ground_points),
+                np.zeros(ground_points),
             ],
             axis=1,
         )

@@ -1,0 +1,136 @@
+"""Keyframe spawning logic.
+
+Reference ``updateKeyframes`` (``odom.cc:1097-1181``): distance/rotation to
+the closest keyframe with a nearby-count special case; on spawn, the
+world-transformed scan is submap-voxelized and stored with its pose and
+per-point covariances (normals here).
+
+The reference's decision chain (``odom.cc:1143-1153``) reduces to:
+``new = (dd > threshD) or (theta > threshR and num_nearby <= 1)``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from direct_lidar_odometry_tpu.config import DloConfig
+from direct_lidar_odometry_tpu.core import se3
+from direct_lidar_odometry_tpu.core.cloud import PAD_VALUE, PointCloud
+from direct_lidar_odometry_tpu.ops import voxel
+from direct_lidar_odometry_tpu.registration import covariance
+from direct_lidar_odometry_tpu.odometry.state import KeyframeStore
+
+
+class KeyframeDecision(NamedTuple):
+    spawn: jnp.ndarray        # bool
+    closest_dist: jnp.ndarray  # f32
+    num_nearby: jnp.ndarray   # int32
+
+
+def decide(
+    kf: KeyframeStore,
+    position: jnp.ndarray,
+    quat: jnp.ndarray,
+    thresh_dist: jnp.ndarray,
+    thresh_rot_deg: float,
+) -> KeyframeDecision:
+    """Reference odom.cc:1104-1153."""
+    kmask = jnp.arange(kf.capacity) < kf.count
+    d = jnp.linalg.norm(kf.positions - position, axis=-1)
+    d = jnp.where(kmask, d, jnp.inf)
+    num_nearby = jnp.sum((d <= thresh_dist * 1.5) & kmask).astype(jnp.int32)
+    closest = jnp.argmin(d)
+    dd = d[closest]
+    theta_deg = se3.quat_angle_deg(quat, kf.quats[closest])
+    spawn = (dd > thresh_dist) | (
+        (theta_deg > thresh_rot_deg) & (num_nearby <= 1)
+    )
+    # no keyframes yet -> always spawn (cannot happen after init, but safe)
+    spawn = jnp.where(kf.count == 0, True, spawn)
+    return KeyframeDecision(spawn=spawn, closest_dist=dd, num_nearby=num_nearby)
+
+
+def make_keyframe_cloud(
+    scan: PointCloud, pose: jnp.ndarray, cfg: DloConfig
+) -> tuple[PointCloud, covariance.Normals]:
+    """World-transform the scan, submap-voxelize, recompute normals.
+
+    Reference odom.cc:1155-1174 (transformCurrentScan + vf_submap +
+    calculateSourceCovariances on the keyframe cloud).
+    """
+    world_pts = se3.transform_points(pose, scan.points)
+    world_pts = jnp.where(scan.mask[..., None], world_pts, PAD_VALUE)
+    c = PointCloud(points=world_pts, mask=scan.mask)
+    if cfg.preprocessing.voxel_submap.use:
+        c = voxel.voxel_downsample(
+            c, cfg.preprocessing.voxel_submap.res, out_capacity=cfg.shapes.n_keyframe
+        )
+    else:
+        c = PointCloud(
+            points=c.points[: cfg.shapes.n_keyframe],
+            mask=c.mask[: cfg.shapes.n_keyframe],
+        )
+    # NB: the reference computes keyframe covariances through the *s2s* GICP
+    # instance (odom.cc:1172-1174), so k here is s2s.k_correspondences (10),
+    # not s2m's 20 — s2m's own k is effectively unused upstream because its
+    # covariances are always injected externally.
+    nrm = covariance.estimate_normals_twoscale(
+        c.points, c.mask,
+        k=cfg.gicp.s2s.k_correspondences,
+        chunk=min(cfg.shapes.knn_query_chunk, cfg.shapes.n_keyframe),
+        cap=cfg.shapes.cell_cap_knn,
+    )
+    return c, nrm
+
+
+def insert(
+    kf: KeyframeStore,
+    position: jnp.ndarray,
+    quat: jnp.ndarray,
+    cloud: PointCloud,
+    normals: covariance.Normals,
+) -> KeyframeStore:
+    """Append at ``count`` (saturating at capacity — new frames dropped when
+    full; the reference grows unboundedly, see KeyframeStore docstring)."""
+    full = kf.count >= kf.capacity
+    idx = jnp.minimum(kf.count, kf.capacity - 1)
+
+    def write(arr, val):
+        new = arr.at[idx].set(val)
+        return jnp.where(full, arr, new)
+
+    return KeyframeStore(
+        positions=write(kf.positions, position),
+        quats=write(kf.quats, quat),
+        points=write(kf.points, cloud.points),
+        masks=write(kf.masks, cloud.mask),
+        normals=write(kf.normals, normals.normals),
+        normals_valid=write(kf.normals_valid, normals.valid),
+        count=jnp.where(full, kf.count, kf.count + 1),
+    )
+
+
+def maybe_spawn(
+    kf: KeyframeStore,
+    scan: PointCloud,
+    pose: jnp.ndarray,
+    cfg: DloConfig,
+    thresh_dist: jnp.ndarray,
+) -> tuple[KeyframeStore, jnp.ndarray]:
+    """Full updateKeyframes step. Returns (store, spawned)."""
+    position = se3.se3_translation(pose)
+    quat = se3.rotmat_to_quat(se3.se3_rotation(pose))
+    dec = decide(kf, position, quat, thresh_dist, cfg.keyframe.thresh_rot)
+
+    def spawn(_):
+        cloud, nrm = make_keyframe_cloud(scan, pose, cfg)
+        return insert(kf, position, quat, cloud, nrm)
+
+    def keep(_):
+        return kf
+
+    new_kf = jax.lax.cond(dec.spawn, spawn, keep, None)
+    return new_kf, dec.spawn

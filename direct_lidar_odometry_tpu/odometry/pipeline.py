@@ -1,0 +1,219 @@
+"""The per-frame odometry step — the jitted heart of the framework.
+
+Functional redesign of the reference's ``icpCB`` + ``getNextPose``
+(``odom.cc:629-697, 792-852``, call stacks in SURVEY.md §3.1-3.2):
+
+    preprocess -> spaciousness/adaptive -> S2S GICP (IMU prior) ->
+    propagate -> submap select/assemble -> S2M GICP -> pose ->
+    keyframe spawn -> carry scan as next target
+
+Everything below is pure: ``(OdomState, scan, imu prior) -> (OdomState,
+FrameResult)``, with static shapes from ``cfg.shapes``. The first frame
+goes through :func:`init_frame` (the reference's ``initializeInputTarget``,
+``odom.cc:472-507``).
+
+Key invariant preserved from the reference (``odom.cc:815, 818``): normals
+(covariances) are computed ONCE per scan and reused as the S2M source
+normals and, via the carried previous scan, as the next frame's S2S target
+normals.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from direct_lidar_odometry_tpu.config import DloConfig
+from direct_lidar_odometry_tpu.core import se3
+from direct_lidar_odometry_tpu.core.cloud import PointCloud
+from direct_lidar_odometry_tpu.ops import hashgrid, preprocess as prep, voxel
+from direct_lidar_odometry_tpu.registration import covariance, gicp
+from direct_lidar_odometry_tpu.odometry import adaptive, hulls, keyframes, submap
+from direct_lidar_odometry_tpu.odometry.state import (
+    FrameResult,
+    OdomState,
+    empty_state,
+)
+
+
+def preprocess_scan(
+    raw_points: jnp.ndarray, raw_mask: jnp.ndarray, cfg: DloConfig
+) -> PointCloud:
+    """NaN/crop mask + voxel downsample into the n_scan capacity.
+
+    Reference ``preprocessPoints`` (``odom.cc:443-465``).
+    """
+    crop = cfg.preprocessing.crop.size if cfg.preprocessing.crop.use else None
+    c = prep.preprocess(PointCloud(points=raw_points, mask=raw_mask), crop)
+    if cfg.preprocessing.voxel_scan.use:
+        return voxel.voxel_downsample(
+            c, cfg.preprocessing.voxel_scan.res, out_capacity=cfg.shapes.n_scan
+        )
+    # no voxel: compact valid points to the front and truncate to capacity
+    order = jnp.argsort(~c.mask, stable=True)[: cfg.shapes.n_scan]
+    return PointCloud(points=c.points[order], mask=c.mask[order])
+
+
+def _scan_normals(scan: PointCloud, cfg: DloConfig) -> covariance.Normals:
+    return covariance.estimate_normals_twoscale(
+        scan.points,
+        scan.mask,
+        k=cfg.gicp.s2s.k_correspondences,
+        table_size=cfg.shapes.grid_table_size,
+        cap=cfg.shapes.cell_cap_knn,
+        chunk=min(cfg.shapes.knn_query_chunk, cfg.shapes.n_scan),
+    )
+
+
+def init_frame(
+    cfg: DloConfig,
+    state: OdomState,
+    raw_points: jnp.ndarray,
+    raw_mask: jnp.ndarray,
+) -> OdomState:
+    """First frame: set S2S target and spawn the first keyframe.
+
+    Reference ``initializeInputTarget`` (``odom.cc:472-507``). ``state``
+    should come from :func:`direct_lidar_odometry_tpu.odometry.state.empty_state`
+    (optionally with a gravity-aligned / known initial pose already set).
+    """
+    scan = preprocess_scan(raw_points, raw_mask, cfg)
+    nrm = _scan_normals(scan, cfg)
+    spac = adaptive.update_spaciousness(
+        state.spaciousness, scan.points, scan.mask, cfg.adaptive.lpf_alpha
+    )
+    cloud_kf, nrm_kf = keyframes.make_keyframe_cloud(scan, state.pose, cfg)
+    position = se3.se3_translation(state.pose)
+    quat = se3.rotmat_to_quat(se3.se3_rotation(state.pose))
+    kf = keyframes.insert(state.keyframes, position, quat, cloud_kf, nrm_kf)
+    return state._replace(
+        prev_points=scan.points,
+        prev_mask=scan.mask,
+        prev_normals=nrm.normals,
+        prev_normals_valid=nrm.valid,
+        keyframes=kf,
+        spaciousness=spac,
+        frame_idx=state.frame_idx + 1,
+    )
+
+
+def odom_frame(
+    cfg: DloConfig,
+    directions: jnp.ndarray,
+    state: OdomState,
+    raw_points: jnp.ndarray,
+    raw_mask: jnp.ndarray,
+    imu_prior: jnp.ndarray,
+) -> tuple[OdomState, FrameResult]:
+    """One odometry frame (reference ``icpCB`` body + ``getNextPose``)."""
+    shapes = cfg.shapes
+
+    # --- preprocessing + metrics (odom.cc:650-659) ---
+    scan = preprocess_scan(raw_points, raw_mask, cfg)
+    spac = adaptive.update_spaciousness(
+        state.spaciousness, scan.points, scan.mask, cfg.adaptive.lpf_alpha
+    )
+    if cfg.adaptive.use:
+        thresh_dist = adaptive.keyframe_thresh_from_spaciousness(spac)
+    else:
+        thresh_dist = jnp.float32(cfg.keyframe.thresh_dist)
+
+    # --- per-scan normals, computed exactly once (odom.cc:815,818) ---
+    nrm = _scan_normals(scan, cfg)
+    src = gicp.GicpSource(
+        points=scan.points, mask=scan.mask,
+        normals=nrm.normals, normals_valid=nrm.valid,
+    )
+
+    # --- S2S: current scan against previous scan (odom.cc:801-809) ---
+    s2s_grid = hashgrid.build(
+        state.prev_points, state.prev_mask,
+        cfg.gicp.s2s.max_correspondence_distance, shapes.grid_table_size,
+    )
+    s2s_target = gicp.GicpTarget(
+        grid=s2s_grid, normals=state.prev_normals,
+        normals_valid=state.prev_normals_valid,
+    )
+    s2s_res = gicp.align(src, s2s_target, imu_prior, cfg.gicp.s2s,
+                         cap=shapes.cell_cap_1nn)
+
+    # --- propagate S2S into the global frame (odom.cc:812, 926-943) ---
+    t_s2s_global = state.t_s2s @ s2s_res.transform
+
+    # --- submap selection + assembly (odom.cc:825-834) ---
+    sel = submap.select_submap_keyframes(
+        state.keyframes, state.submap_members,
+        se3.se3_translation(t_s2s_global), thresh_dist, cfg, directions,
+    )
+    state = submap.assemble_submap(state, sel, cfg)
+
+    # --- S2M: scan against submap, S2S-propagated guess (odom.cc:837-847) ---
+    s2m_target = gicp.GicpTarget(
+        grid=state.submap_grid, normals=state.submap_normals,
+        normals_valid=state.submap_normals_valid,
+    )
+    s2m_res = gicp.align(src, s2m_target, t_s2s_global, cfg.gicp.s2m,
+                         cap=shapes.cell_cap_1nn)
+    # guard: if the submap stage produced no correspondences (e.g. tracking
+    # lost), fall back to the S2S-propagated pose rather than garbage
+    pose = jnp.where(s2m_res.num_correspondences > 0, s2m_res.transform,
+                     t_s2s_global)
+
+    # --- keyframing (odom.cc:678, 1097-1181) ---
+    kf, spawned = keyframes.maybe_spawn(
+        state.keyframes, scan, pose, cfg, thresh_dist
+    )
+
+    position = se3.se3_translation(pose)
+    quat = se3.rotmat_to_quat(se3.se3_rotation(pose))
+    new_state = state._replace(
+        pose=pose,
+        t_s2s=pose,  # T_s2s_prev <- T (odom.cc:843)
+        prev_points=scan.points,
+        prev_mask=scan.mask,
+        prev_normals=nrm.normals,
+        prev_normals_valid=nrm.valid,
+        keyframes=kf,
+        spaciousness=spac,
+        frame_idx=state.frame_idx + 1,
+    )
+    result = FrameResult(
+        pose=pose,
+        position=position,
+        quat=quat,
+        new_keyframe=spawned,
+        num_keyframes=kf.count,
+        submap_changed=sel.changed,
+        spaciousness=spac,
+        keyframe_thresh_dist=thresh_dist,
+        s2s_iterations=s2s_res.iterations,
+        s2s_error=s2s_res.final_error,
+        s2s_num_corr=s2s_res.num_correspondences,
+        s2s_converged=s2s_res.converged,
+        s2m_iterations=s2m_res.iterations,
+        s2m_error=s2m_res.final_error,
+        s2m_num_corr=s2m_res.num_correspondences,
+        s2m_converged=s2m_res.converged,
+    )
+    return new_state, result
+
+
+def make_step_fns(
+    cfg: DloConfig,
+) -> tuple[Callable, Callable]:
+    """(init_fn, step_fn), both jitted, shapes fixed by ``cfg.shapes``.
+
+    init_fn(state, raw_points, raw_mask) -> state
+    step_fn(state, raw_points, raw_mask, imu_prior 4x4) -> (state, FrameResult)
+    """
+    directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
+    init_fn = jax.jit(partial(init_frame, cfg))
+    step_fn = jax.jit(partial(odom_frame, cfg, directions))
+    return init_fn, step_fn
+
+
+def fresh_state(cfg: DloConfig, initial_pose=None) -> OdomState:
+    return empty_state(cfg, initial_pose)

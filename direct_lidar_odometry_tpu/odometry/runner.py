@@ -1,0 +1,117 @@
+"""Host-side sequence driver.
+
+The functional analog of the reference's process shell: ROS callbacks,
+spinners, and lifecycle (``odom_node.cc``, ``odom.cc:586-697``) become a
+plain Python loop that feeds device arrays to the jitted init/step
+functions, maintains the IMU buffer, and collects the trajectory.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from direct_lidar_odometry_tpu.config import DloConfig
+from direct_lidar_odometry_tpu.core import cloud as cl, se3
+from direct_lidar_odometry_tpu.odometry import imu as imu_mod, mapper, pipeline
+from direct_lidar_odometry_tpu.odometry.state import FrameResult, OdomState
+
+
+@dataclass
+class FrameStats:
+    stamp: float
+    wall_ms: float
+    result: FrameResult | None
+
+
+class OdometryRunner:
+    """Drive one LiDAR (+IMU) sequence through the jitted pipeline."""
+
+    def __init__(self, cfg: DloConfig):
+        self.cfg = cfg
+        self.init_fn, self.step_fn = pipeline.make_step_fns(cfg)
+        self.imu = (
+            imu_mod.ImuBuffer(cfg.imu.calib_time, cfg.imu.buffer_size)
+            if cfg.imu.use
+            else None
+        )
+        self.state: OdomState | None = None
+        self.prev_stamp: float | None = None
+        self.poses: list[np.ndarray] = []
+        self.stamps: list[float] = []
+        self.stats: list[FrameStats] = []
+        self._identity = jnp.eye(4, dtype=jnp.float32)
+
+    # -- sensor inputs ----------------------------------------------------
+    def push_imu(self, stamp: float, gyro, accel) -> None:
+        if self.imu is not None:
+            self.imu.push(stamp, gyro, accel)
+
+    def _initial_pose(self) -> jnp.ndarray:
+        """Known initial pose and/or gravity alignment (odom.cc:586-622)."""
+        cfg = self.cfg
+        rot = jnp.eye(3, dtype=jnp.float32)
+        pos = jnp.zeros(3, jnp.float32)
+        if cfg.gravity_align and self.imu is not None and self.imu.calibrated:
+            q = imu_mod.gravity_align_quat(jnp.asarray(self.imu.accel_mean))
+            rot = se3.quat_to_rotmat(q)
+        if cfg.initial_pose.use:
+            pos = jnp.asarray(cfg.initial_pose.position, jnp.float32)
+            q = jnp.asarray(cfg.initial_pose.orientation_wxyz, jnp.float32)
+            rot = se3.quat_to_rotmat(q)
+        return se3.make_se3(rot, pos)
+
+    def process_scan(self, points: np.ndarray, stamp: float) -> FrameResult | None:
+        """One LiDAR frame. Returns None for rejected/initialization frames."""
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        if points.shape[0] < cfg.gicp.min_num_points:  # odom.cc:638-641
+            return None
+        if cfg.imu.use and self.imu is not None and not self.imu.calibrated:
+            # reference waits for IMU calibration before initializing
+            # (odom.cc:589-591)
+            return None
+
+        raw = cl.from_numpy(points[:, :3], cfg.shapes.n_raw)
+
+        if self.state is None:
+            state = pipeline.fresh_state(cfg, self._initial_pose())
+            self.state = self.init_fn(state, raw.points, raw.mask)
+            self.prev_stamp = stamp
+            self.poses.append(np.asarray(self.state.pose))
+            self.stamps.append(stamp)
+            self.stats.append(
+                FrameStats(stamp, (time.perf_counter() - t0) * 1e3, None)
+            )
+            return None
+
+        imu_prior = self._identity
+        if cfg.imu.use and self.imu is not None:
+            window, _count = self.imu.window(
+                self.prev_stamp, stamp, cfg.shapes.imu_window
+            )
+            imu_prior = imu_mod.integrate_window(
+                jnp.asarray(window), jnp.int32(_count)
+            )
+
+        self.state, result = self.step_fn(self.state, raw.points, raw.mask, imu_prior)
+        self.prev_stamp = stamp
+        self.poses.append(np.asarray(result.pose))
+        self.stamps.append(stamp)
+        self.stats.append(FrameStats(stamp, (time.perf_counter() - t0) * 1e3, result))
+        return result
+
+    # -- outputs ----------------------------------------------------------
+    def trajectory(self) -> np.ndarray:
+        return np.stack(self.poses) if self.poses else np.zeros((0, 4, 4))
+
+    def build_map(self, out_capacity: int | None = None) -> np.ndarray:
+        assert self.state is not None
+        m = mapper.build_map(self.state.keyframes, self.cfg.map.leaf_size, out_capacity)
+        return cl.to_numpy(m)
+
+    def num_keyframes(self) -> int:
+        return int(self.state.keyframes.count) if self.state is not None else 0

@@ -1,0 +1,128 @@
+"""Submap keyframe selection and assembly.
+
+Reference ``getSubmapKeyframes`` (``odom.cc:1240-1331``): the S2M target is
+the union of (a) the knn nearest keyframes by pose distance, (b) the kcv
+nearest among convex-hull keyframes, (c) the kcc nearest among
+concave-hull keyframes — deduplicated, with change detection so the
+concatenated submap cloud/normals (and here, its hash grid) are rebuilt
+only when the index set changes.
+
+``pushSubmapIndices`` keeps *every* element <= the kth smallest distance
+(ties included, ``odom.cc:1210-1233``); the same semantics here via a
+top-k threshold instead of a heap.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from direct_lidar_odometry_tpu.config import DloConfig
+from direct_lidar_odometry_tpu.ops import hashgrid
+from direct_lidar_odometry_tpu.odometry import hulls
+from direct_lidar_odometry_tpu.odometry.state import KeyframeStore, OdomState
+
+
+def k_smallest_members(
+    d2: jnp.ndarray, mask: jnp.ndarray, k: int
+) -> jnp.ndarray:
+    """[K], [K] -> [K] bool: elements <= the kth smallest masked distance."""
+    big = jnp.asarray(jnp.inf, d2.dtype)
+    vals = jnp.where(mask, d2, big)
+    kk = min(k, d2.shape[0])
+    neg_topk, _ = jax.lax.top_k(-vals, kk)
+    kth = -neg_topk[-1]  # kth smallest (inf if fewer than k valid)
+    kth = jnp.where(jnp.isfinite(kth), kth, jnp.max(jnp.where(mask, vals, -big), initial=0.0))
+    return mask & (vals <= kth)
+
+
+class SubmapSelection(NamedTuple):
+    members: jnp.ndarray  # [K] bool
+    changed: jnp.ndarray  # bool
+
+
+def select_submap_keyframes(
+    kf: KeyframeStore,
+    prev_members: jnp.ndarray,
+    query_pos: jnp.ndarray,
+    alpha: jnp.ndarray,
+    cfg: DloConfig,
+    directions: jnp.ndarray,
+) -> SubmapSelection:
+    """Choose the submap keyframe set for the current S2S pose estimate.
+
+    ``query_pos`` is the S2S-propagated position (reference uses
+    ``T_s2s`` translation, ``odom.cc:1248``).
+    """
+    k = kf.capacity
+    kmask = jnp.arange(k) < kf.count
+    diff = kf.positions - query_pos
+    d2 = jnp.sum(diff * diff, axis=-1)
+
+    knn_sel = k_smallest_members(d2, kmask, cfg.submap.knn)
+
+    cvx = hulls.convex_membership(kf.positions, kmask, directions)
+    cvx_sel = k_smallest_members(d2, cvx, cfg.submap.kcv)
+
+    ccv = hulls.concave_membership(kf.positions, kmask, directions, alpha)
+    ccv_sel = k_smallest_members(d2, ccv, cfg.submap.kcc)
+
+    members = (knn_sel | cvx_sel | ccv_sel) & kmask
+    # cap at max_submap_kf members, keeping the smallest keyframe indices
+    # (deterministic; the reference set is <= knn+kcv+kcc anyway)
+    idx_rank = jnp.cumsum(members.astype(jnp.int32)) - 1
+    members = members & (idx_rank < cfg.shapes.max_submap_kf)
+    changed = jnp.any(members != prev_members)
+    return SubmapSelection(members=members, changed=changed)
+
+
+def assemble_submap(
+    state: OdomState, sel: SubmapSelection, cfg: DloConfig
+) -> OdomState:
+    """Rebuild the flattened submap cloud + normals + hash grid iff changed.
+
+    Reference ``odom.cc:1309-1329`` (concatenate keyframe clouds and cached
+    normals) plus the grid build that the reference hides inside
+    ``gicp.setInputTarget`` (``odom.cc:828``).
+    """
+    s_max = cfg.shapes.max_submap_kf
+    nk = cfg.shapes.n_keyframe
+    kf = state.keyframes
+    k = kf.capacity
+
+    def rebuild(_):
+        # pack member keyframe indices (ascending) into s_max slots
+        order_key = jnp.where(sel.members, jnp.arange(k), k + jnp.arange(k))
+        order = jnp.argsort(order_key)[:s_max]  # first s_max = members first
+        slot_valid = sel.members[order]  # [S]
+        pts = kf.points[order].reshape(s_max * nk, 3)
+        msk = (kf.masks[order] & slot_valid[:, None]).reshape(s_max * nk)
+        nrm = kf.normals[order].reshape(s_max * nk, 3)
+        nvl = (kf.normals_valid[order] & slot_valid[:, None]).reshape(s_max * nk)
+        grid = hashgrid.build(
+            pts, msk,
+            cfg.gicp.s2m.max_correspondence_distance,
+            cfg.shapes.submap_table_size,
+        )
+        return pts, msk, nrm, nvl, grid
+
+    def keep(_):
+        return (
+            state.submap_points,
+            state.submap_mask,
+            state.submap_normals,
+            state.submap_normals_valid,
+            state.submap_grid,
+        )
+
+    pts, msk, nrm, nvl, grid = jax.lax.cond(sel.changed, rebuild, keep, None)
+    return state._replace(
+        submap_members=sel.members,
+        submap_points=pts,
+        submap_mask=msk,
+        submap_normals=nrm,
+        submap_normals_valid=nvl,
+        submap_grid=grid,
+    )

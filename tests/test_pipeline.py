@@ -1,0 +1,138 @@
+import numpy as np
+import pytest
+
+from direct_lidar_odometry_tpu.config import DloConfig
+from direct_lidar_odometry_tpu.io import evaluation, synthetic
+from direct_lidar_odometry_tpu.odometry.runner import OdometryRunner
+
+
+def tiny_cfg(**overrides) -> DloConfig:
+    cfg = DloConfig()
+    cfg = cfg.replace(
+        shapes=cfg.shapes.__class__(
+            n_raw=8192,
+            n_scan=8192,
+            n_keyframe=8192,
+            max_keyframes=64,
+            max_submap_kf=8,
+            imu_window=64,
+            grid_table_size=2 ** 14,
+            submap_table_size=2 ** 15,
+            cell_cap_1nn=16,
+            cell_cap_knn=48,
+            knn_query_chunk=2048,
+            hull_directions=32,
+        ),
+    )
+    for key, value in overrides.items():
+        cfg = cfg.replace(**{key: value})
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(7)
+    # sized so render_scan never randomly subsamples (see make_world
+    # docstring) — consecutive scans then share surface points like a
+    # real LiDAR densely sampling the same surfaces
+    w = synthetic.make_world(
+        rng, n_frames=25, extent=20.0, n_boxes=8, speed=0.4,
+        ground_points=6000, density=5.0,
+    )
+    probe = synthetic.render_scan(w, 0, np.random.default_rng(0), max_range=18.0, max_points=8192)
+    assert len(probe) < 8192, f"world too dense, scans subsampled: {len(probe)}"
+    return w
+
+
+def run_sequence(cfg, world, n_frames=25, push_imu=False, imu_rate=100.0):
+    rng = np.random.default_rng(3)
+    runner = OdometryRunner(cfg)
+    if push_imu:
+        # feed calibration-period samples (static, zero gyro) before start
+        for i in range(40):
+            runner.push_imu(-5.0 + i * 0.1, np.zeros(3), [0.0, 0.0, 9.81])
+    for t in range(n_frames):
+        if push_imu:
+            meas = synthetic.make_imu_between(world, t, imu_rate, rng)
+            for row in meas:
+                runner.push_imu(row[0], row[1:4], row[4:7])
+        scan = synthetic.render_scan(world, t, rng, max_range=18.0, max_points=8192)
+        runner.process_scan(scan, world.stamps[t])
+    return runner
+
+
+def gt_relative(world, n):
+    """Ground truth in the odometry frame (first pose = identity)."""
+    return np.linalg.inv(world.poses[0])[None] @ world.poses[:n]
+
+
+def test_full_pipeline_tracks_ground_truth(world):
+    cfg = tiny_cfg()
+    runner = run_sequence(cfg, world)
+    est = runner.trajectory()
+    res = evaluation.ate(est, gt_relative(world, len(est)), align=False)
+    assert res.rmse < 0.10, f"ATE RMSE {res.rmse:.3f} m"
+    # health: every frame converged with plenty of correspondences
+    for s in runner.stats[1:]:
+        assert bool(s.result.s2s_converged)
+        assert int(s.result.s2m_num_corr) > 500
+
+
+def test_pipeline_spawns_keyframes(world):
+    cfg = tiny_cfg()
+    runner = run_sequence(cfg, world)
+    nk = runner.num_keyframes()
+    # ~15m of travel with adaptive threshD in a <=30m world -> several keyframes
+    assert 2 <= nk <= 20, nk
+    # submap changed at least once after spawning
+    assert any(bool(s.result.submap_changed) for s in runner.stats[1:] if s.result)
+
+
+def test_pipeline_map_output(world):
+    cfg = tiny_cfg()
+    runner = run_sequence(cfg, world, n_frames=10)
+    m = runner.build_map(out_capacity=8192)
+    assert 100 < len(m) <= 8192
+    # map points should be near world surfaces (sanity: z range in the
+    # odometry frame, ground at -1.5, box extents within [-6, 12])
+    assert m[:, 2].min() > -6.0 and m[:, 2].max() < 12.0
+
+
+def test_pipeline_rejects_tiny_scans(world):
+    cfg = tiny_cfg()
+    runner = OdometryRunner(cfg)
+    out = runner.process_scan(np.zeros((3, 3), np.float32), 0.0)
+    assert out is None and runner.state is None
+
+
+def test_pipeline_with_imu_prior(world):
+    cfg = tiny_cfg(imu=DloConfig().imu.__class__(use=True, calib_time=3.0, buffer_size=512))
+    runner = run_sequence(cfg, world, push_imu=True)
+    est = runner.trajectory()
+    res = evaluation.ate(est, gt_relative(world, len(est)), align=False)
+    assert res.rmse < 0.10, f"ATE RMSE {res.rmse:.3f} m"
+
+
+def test_checkpoint_roundtrip(world, tmp_path):
+    """State is a pytree of arrays -> trivially checkpointable (SURVEY §5 gap)."""
+    import jax
+
+    cfg = tiny_cfg()
+    runner = run_sequence(cfg, world, n_frames=8)
+    flat, treedef = jax.tree_util.tree_flatten(runner.state)
+    np.savez(tmp_path / "ckpt.npz", *[np.asarray(x) for x in flat])
+    loaded = np.load(tmp_path / "ckpt.npz")
+    restored = jax.tree_util.tree_unflatten(
+        treedef, [loaded[k] for k in loaded.files]
+    )
+    # resume: run two more frames from restored state, must match continuing
+    runner2 = OdometryRunner(cfg)
+    runner2.state = jax.tree_util.tree_map(lambda x: x, restored)
+    runner2.prev_stamp = runner.prev_stamp
+    rng = np.random.default_rng(99)
+    scan = synthetic.render_scan(world, 8, rng, max_range=18.0, max_points=8192)
+    r_cont = runner.process_scan(scan, world.stamps[8])
+    r_rest = runner2.process_scan(scan, world.stamps[8])
+    np.testing.assert_allclose(
+        np.asarray(r_cont.pose), np.asarray(r_rest.pose), atol=1e-5
+    )
