@@ -1,0 +1,122 @@
+"""End-to-end benchmark: full odometry pipeline frames/s on one chip.
+
+Run by the driver on real TPU hardware each round; prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline denominator: the reference publishes no numbers (BASELINE.md);
+until the in-repo C++ CPU baseline lands, ``DLO_CPU_FPS`` below is the
+provisional reference operating point (20 ms/scan class CPU performance,
+see BASELINE.md), so vs_baseline = our_fps / DLO_CPU_FPS.
+
+Usage: python bench.py [--frames N] [--small] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+DLO_CPU_FPS = 50.0  # provisional reference CPU rate (BASELINE.md)
+
+
+def production_cfg(small: bool = False):
+    from direct_lidar_odometry_tpu.config import DloConfig, ShapeConfig
+
+    if small:
+        return DloConfig().replace(
+            shapes=ShapeConfig(
+                n_raw=8192, n_scan=8192, n_keyframe=8192, max_keyframes=64,
+                max_submap_kf=8, imu_window=64, grid_table_size=2 ** 14,
+                submap_table_size=2 ** 15, cell_cap_1nn=16, cell_cap_knn=48,
+                knn_query_chunk=2048, hull_directions=32,
+            )
+        )
+    return DloConfig()  # production defaults from config.py
+
+
+def make_bench_world(n_frames: int, rng: np.random.Generator, small: bool):
+    from direct_lidar_odometry_tpu.io import synthetic
+
+    if small:
+        return synthetic.make_world(
+            rng, n_frames=n_frames, extent=15.0, n_boxes=6, speed=0.4,
+            ground_points=8000, density=6.0,
+        ), 13.0, 8192
+    # KITTI-class density: ~60-100k visible points per 40 m scan
+    return synthetic.make_world(
+        rng, n_frames=n_frames, extent=60.0, n_boxes=40, speed=1.0,
+        ground_points=250000, density=50.0,
+    ), 40.0, 131072
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    from direct_lidar_odometry_tpu.io import synthetic
+    from direct_lidar_odometry_tpu.odometry.runner import OdometryRunner
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}", file=sys.stderr)
+
+    cfg = production_cfg(args.small)
+    rng = np.random.default_rng(0)
+    world, max_range, max_pts = make_bench_world(args.frames, rng, args.small)
+
+    print("# rendering scans...", file=sys.stderr)
+    scans = [
+        synthetic.render_scan(world, t, rng, max_range=max_range, max_points=max_pts)
+        for t in range(args.frames)
+    ]
+    print(
+        f"# {len(scans)} scans, mean {np.mean([len(s) for s in scans]):.0f} raw pts",
+        file=sys.stderr,
+    )
+
+    runner = OdometryRunner(cfg)
+    times = []
+    for t, scan in enumerate(scans):
+        t0 = time.perf_counter()
+        res = runner.process_scan(scan, world.stamps[t])
+        if res is not None:
+            jax.block_until_ready(res.pose)
+        times.append(time.perf_counter() - t0)
+        if t in (0, 1, 2):
+            print(f"# frame {t}: {times[-1]*1e3:.1f} ms (compile/warmup)", file=sys.stderr)
+
+    steady = np.asarray(times[5:])
+    ms = float(np.median(steady) * 1e3)
+    fps = 1000.0 / ms
+    print(
+        f"# steady-state: median {ms:.2f} ms/frame, p90 "
+        f"{np.percentile(steady, 90)*1e3:.2f} ms, {runner.num_keyframes()} keyframes",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "odometry_frames_per_s_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / DLO_CPU_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,7 @@ def make_world(
     density: float = 60.0,
     speed: float = 1.2,
     dt: float = 0.1,
-    yaw_rate: float = 0.15,
+    yaw_rate: float = 0.04,
     ground_points: int = 40000,
 ) -> SyntheticWorld:
     """Build a world and a smooth wandering trajectory through it.
@@ -86,13 +86,18 @@ def make_world(
         surf.append(_box_surface(rng, center, size, density))
     surface_points = np.concatenate(surf, axis=0).astype(np.float32)
 
-    # smooth trajectory: constant speed, wandering yaw, sensor 1.5m up
+    # smooth trajectory: constant speed, AR(1) yaw rate (white-noise yaw
+    # produces 20deg+ single-frame jumps that alias scan matching without
+    # an IMU prior — real platforms turn smoothly), sensor 1.5m up
     poses = np.zeros((n_frames, 4, 4))
     stamps = np.arange(n_frames) * dt
     yaw = 0.0
+    yaw_vel = 0.0
     pos = np.array([0.0, 0.0, 1.5])
     for t in range(n_frames):
-        yaw += rng.normal(scale=yaw_rate) * dt * 10
+        yaw_vel = 0.8 * yaw_vel + rng.normal(scale=yaw_rate)
+        yaw_vel = np.clip(yaw_vel, -0.09, 0.09)  # <= ~5 deg/frame, 10 Hz realistic
+        yaw += yaw_vel * dt * 10
         c, s = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
         poses[t] = np.eye(4)

@@ -1,0 +1,161 @@
+"""Keyframe pose-graph refinement — dense Gauss-Newton on SE(3)^K.
+
+A capability the reference does not have (SURVEY.md §5: no loop closure,
+no global refinement): periodically refine the keyframe poses given
+relative-pose constraints (odometry chains and any loop-closure matches),
+which re-anchors the map for long trajectories.
+
+TPU-first design choices:
+- residuals ``e_ij = log(Z_ij^-1 X_i^-1 X_j)`` batched over constraints
+  (vmap over [M]), Jacobians by the standard right-perturbation
+  approximation (J_i = -Ad, J_j = I at the linearization point — exact
+  enough for small residuals, iterated to convergence);
+- the normal system is assembled DENSE: H is [6K, 6K]. For K <= 1024
+  that is a 6144^2 matrix — a shape the MXU solves faster than any
+  sparse-scatter pipeline XLA could produce;
+- gauge freedom fixed by pinning pose 0 with a strong prior;
+- the distributed form shards the *constraint set* across devices, psums
+  the per-shard H/b contributions over the mesh, and solves replicated —
+  the Schur-type reduction pattern from BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from direct_lidar_odometry_tpu.core import se3
+
+
+class PoseGraph(NamedTuple):
+    poses: jnp.ndarray       # [K, 4, 4] current estimates
+    pose_mask: jnp.ndarray   # [K] valid poses
+    edges: jnp.ndarray       # [M, 2] int32 (i, j)
+    rel: jnp.ndarray         # [M, 4, 4] measured Z_ij (i -> j)
+    edge_mask: jnp.ndarray   # [M]
+    weights: jnp.ndarray     # [M] scalar information weight
+
+
+def residual(poses: jnp.ndarray, edge, z) -> jnp.ndarray:
+    """6-vector [rot, trans] residual of one edge."""
+    i, j = edge[0], edge[1]
+    t_ij = se3.se3_inverse(poses[i]) @ poses[j]
+    err = se3.se3_inverse(z) @ t_ij
+    w = se3.so3_log(err[:3, :3])
+    return jnp.concatenate([w, err[:3, 3]])
+
+
+def _edge_terms(poses, edge, z, w):
+    """Per-edge H-blocks and b-segments (Gauss-Newton, unit Jacobian approx:
+    J_j = +I, J_i = -I in the edge tangent frame — adequate for the small
+    inter-keyframe rotations of an odometry chain, iterated outside)."""
+    r = residual(poses, edge, z)  # [6]
+    hw = w
+    h_ii = hw * jnp.eye(6, dtype=jnp.float32)
+    h_jj = h_ii
+    h_ij = -h_ii
+    # gradient segments of F = 1/2 sum w ||e||^2 (J_i = -I, J_j = +I)
+    b_i = -hw * r
+    b_j = hw * r
+    return r, h_ii, h_jj, h_ij, b_i, b_j
+
+
+def build_normal_system(graph: PoseGraph) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Assemble dense H [6K, 6K], b [6K] over (possibly a shard of) edges."""
+    k = graph.poses.shape[0]
+    w = graph.weights * graph.edge_mask.astype(jnp.float32)
+    r, h_ii, h_jj, h_ij, b_i, b_j = jax.vmap(
+        lambda e, z, wi: _edge_terms(graph.poses, e, z, wi)
+    )(graph.edges, graph.rel, w)
+
+    h = jnp.zeros((k, k, 6, 6), jnp.float32)
+    i_idx = graph.edges[:, 0]
+    j_idx = graph.edges[:, 1]
+    h = h.at[i_idx, i_idx].add(h_ii)
+    h = h.at[j_idx, j_idx].add(h_jj)
+    h = h.at[i_idx, j_idx].add(h_ij)
+    h = h.at[j_idx, i_idx].add(jnp.swapaxes(h_ij, -1, -2))
+    b = jnp.zeros((k, 6), jnp.float32)
+    b = b.at[i_idx].add(b_i)
+    b = b.at[j_idx].add(b_j)
+    err = jnp.sum(w * jnp.sum(r * r, axis=-1))
+    h = h.transpose(0, 2, 1, 3).reshape(k * 6, k * 6)
+    return h, b.reshape(k * 6), err
+
+
+def apply_update(poses: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Right-multiplicative update X_i <- X_i exp(d_i). [K,4,4], [K,6]."""
+    def upd(x, d):
+        return x @ se3.se3_exp(d)
+
+    return jax.vmap(upd)(poses, delta.reshape(-1, 6))
+
+
+def refine(
+    graph: PoseGraph,
+    iterations: int = 10,
+    damping: float = 1e-4,
+    prior_weight: float = 1e6,
+    axis_name: str | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gauss-Newton refinement; returns (poses, final error).
+
+    With ``axis_name`` set (inside shard_map/pmap), each device holds a
+    shard of the edges; H/b are psum-reduced over the mesh before the
+    replicated dense solve — the distributed Schur-style reduction.
+    """
+    k = graph.poses.shape[0]
+    pin = jnp.zeros((k * 6,), jnp.float32).at[:6].set(prior_weight)
+    pose_active = jnp.repeat(graph.pose_mask, 6).astype(jnp.float32)
+
+    def body(_, carry):
+        poses, _err = carry
+        h, b, err = build_normal_system(graph._replace(poses=poses))
+        if axis_name is not None:
+            h = jax.lax.psum(h, axis_name)
+            b = jax.lax.psum(b, axis_name)
+            err = jax.lax.psum(err, axis_name)
+        # gauge prior on pose 0 + damping + freeze invalid poses
+        diag = damping + pin + jnp.where(pose_active > 0, 0.0, 1e9)
+        h = h + jnp.diag(diag)
+        delta = jnp.linalg.solve(h, -b)  # b is the gradient -> descend
+        delta = delta * pose_active
+        return apply_update(poses, delta), err
+
+    poses, err = jax.lax.fori_loop(
+        0, iterations, body, (graph.poses, jnp.float32(0.0))
+    )
+    return poses, err
+
+
+def odometry_chain_graph(
+    positions: jnp.ndarray,
+    quats: jnp.ndarray,
+    count: jnp.ndarray,
+    max_edges: int | None = None,
+) -> PoseGraph:
+    """Build a chain pose graph from a keyframe store's poses.
+
+    Consecutive keyframes get a relative constraint from the current
+    estimates (identity-residual start; becomes informative once loop
+    edges or updated measurements are added)."""
+    k = positions.shape[0]
+    m = max_edges or (k - 1)
+    poses = jax.vmap(lambda p, q: se3.make_se3(se3.quat_to_rotmat(q), p))(
+        positions, quats
+    )
+    idx = jnp.arange(m, dtype=jnp.int32)
+    edges = jnp.stack([idx, idx + 1], axis=1)
+    edge_mask = (idx + 1) < count
+    safe_edges = jnp.clip(edges, 0, k - 1)
+    rel = jax.vmap(lambda e: se3.se3_inverse(poses[e[0]]) @ poses[e[1]])(safe_edges)
+    return PoseGraph(
+        poses=poses,
+        pose_mask=jnp.arange(k) < count,
+        edges=safe_edges,
+        rel=rel,
+        edge_mask=edge_mask,
+        weights=jnp.ones((m,), jnp.float32),
+    )

@@ -1,0 +1,95 @@
+"""Device-mesh sharding: multi-sequence odometry + distributed refinement.
+
+The reference has no multi-node capability at all (SURVEY.md §2); this is
+the genuinely new distributed layer, built the JAX way: a ``Mesh`` with a
+``seq`` axis, batched odometry states sharded along it via ``shard_map``,
+and pose-graph refinement whose normal-equation contributions are
+``psum``-reduced over an ``edge`` axis (collectives ride ICI, the solve is
+replicated — the Schur-reduction recipe from BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from direct_lidar_odometry_tpu.config import DloConfig
+from direct_lidar_odometry_tpu.odometry import hulls, pipeline
+from direct_lidar_odometry_tpu.parallel import posegraph
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "seq") -> Mesh:
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_states(states, mesh: Mesh, axis: str = "seq"):
+    """Place a batched state pytree with the batch axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(states, sharding)
+
+
+def make_sharded_step(cfg: DloConfig, mesh: Mesh, axis: str = "seq") -> Callable:
+    """Batched odometry step with the sequence axis sharded over the mesh.
+
+    step(states[B], raw_points[B,N,3], raw_mask[B,N], imu[B,4,4])
+        -> (states, FrameResult[B]);  B must be divisible by mesh size.
+
+    Odometry frames are independent across sequences, so the step itself
+    needs no collectives — sharding the batch is pure data parallelism.
+    A global health reduction (mean correspondence count, max error) is
+    psum'd across the mesh as the cross-sequence fleet signal.
+    """
+    directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
+    local_step = jax.vmap(partial(pipeline.odom_frame, cfg, directions))
+    spec = P(axis)
+
+    def sharded(states, pts, mask, imu):
+        states, res = local_step(states, pts, mask, imu)
+        # fleet health: global mean S2M correspondences + max error (psum)
+        n = jax.lax.psum(jnp.sum(res.s2m_num_corr), axis)
+        cnt = jax.lax.psum(res.s2m_num_corr.shape[0], axis)
+        mean_corr = n / cnt
+        max_err = jax.lax.pmax(jnp.max(res.s2m_error), axis)
+        return states, res, mean_corr, max_err
+
+    return jax.jit(
+        jax.shard_map(
+            sharded, mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(spec, spec, P(), P()),
+            check_vma=False,  # while_loop carries from literals trip the
+                              # varying-axis checker; semantics unaffected
+        )
+    )
+
+
+def make_distributed_refine(
+    mesh: Mesh, axis: str = "edge", iterations: int = 5
+) -> Callable:
+    """Pose-graph refinement with edges sharded over the mesh.
+
+    refine(graph with edges/rel/edge_mask/weights sharded on axis 0)
+        -> (poses replicated, error scalar)
+    """
+    spec_edges = posegraph.PoseGraph(
+        poses=P(), pose_mask=P(),
+        edges=P(axis), rel=P(axis), edge_mask=P(axis), weights=P(axis),
+    )
+
+    def run(graph: posegraph.PoseGraph):
+        return posegraph.refine(graph, iterations=iterations, axis_name=axis)
+
+    return jax.jit(
+        jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(spec_edges,),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
