@@ -161,6 +161,11 @@ class ShapeConfig:
     max_keyframes: int = 512   # keyframe ring capacity
     max_submap_kf: int = 32    # max keyframes concatenated into the submap
                                # (reference cap is knn+kcv+kcc = 30 pre-dedup)
+    n_submap_flat: int | None = 131072  # assembled-submap point budget: on
+                               # change, the S*Nk concatenation is pruned to
+                               # the n_submap_flat points nearest the current
+                               # pose (None = keep all S*Nk). Bounds the
+                               # per-iteration S2M search cost.
     imu_window: int = 256      # max IMU samples between consecutive scans
     # hash-grid neighbor search shape knobs
     grid_table_size: int = 2 ** 16   # hash table slots for scan-sized grids
@@ -177,6 +182,11 @@ class DloConfig:
     """Root configuration, mirroring reference ``cfg/dlo.yaml`` + ``cfg/params.yaml``."""
 
     version: str = "0.1.0"
+    # Neighbor-search backend: "auto" picks per device ("pallas" on TPU —
+    # VMEM-resident tiled distance kernel, see ops/pallas_nn.py; "hashgrid"
+    # elsewhere — cell hashing beats O(Q*T) on CPUs). "brute" is the XLA
+    # tiled-reduction fallback (ops/bruteforce.py).
+    nn_backend: str = "auto"
     adaptive: AdaptiveConfig = field(default_factory=AdaptiveConfig)
     gravity_align: bool = False  # cfg/dlo.yaml:17 (needs IMU)
     initial_pose: InitialPoseConfig = field(default_factory=InitialPoseConfig)
@@ -190,6 +200,20 @@ class DloConfig:
 
     def replace(self, **kw: Any) -> "DloConfig":
         return dataclasses.replace(self, **kw)
+
+
+def resolve_backend(cfg: "DloConfig") -> str:
+    """Resolve nn_backend 'auto' by the default JAX device platform."""
+    if cfg.nn_backend != "auto":
+        return cfg.nn_backend
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "hashgrid"
+
+
+def submap_flat_size(cfg: "DloConfig") -> int:
+    full = cfg.shapes.max_submap_kf * cfg.shapes.n_keyframe
+    return min(cfg.shapes.n_submap_flat or full, full)
 
 
 def _build(cls, data: Mapping[str, Any]):

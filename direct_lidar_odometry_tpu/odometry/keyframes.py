@@ -54,7 +54,7 @@ def decide(
 
 
 def make_keyframe_cloud(
-    scan: PointCloud, pose: jnp.ndarray, cfg: DloConfig
+    scan: PointCloud, pose: jnp.ndarray, cfg: DloConfig, backend: str = "hashgrid"
 ) -> tuple[PointCloud, covariance.Normals]:
     """World-transform the scan, submap-voxelize, recompute normals.
 
@@ -77,12 +77,19 @@ def make_keyframe_cloud(
     # instance (odom.cc:1172-1174), so k here is s2s.k_correspondences (10),
     # not s2m's 20 — s2m's own k is effectively unused upstream because its
     # covariances are always injected externally.
-    nrm = covariance.estimate_normals_twoscale(
-        c.points, c.mask,
-        k=cfg.gicp.s2s.k_correspondences,
-        chunk=min(cfg.shapes.knn_query_chunk, cfg.shapes.n_keyframe),
-        cap=cfg.shapes.cell_cap_knn,
-    )
+    if backend in ("brute", "pallas"):
+        nrm = covariance.estimate_normals_brute(
+            c.points, c.mask,
+            k=cfg.gicp.s2s.k_correspondences,
+            chunk=min(cfg.shapes.knn_query_chunk, cfg.shapes.n_keyframe),
+        )
+    else:
+        nrm = covariance.estimate_normals_twoscale(
+            c.points, c.mask,
+            k=cfg.gicp.s2s.k_correspondences,
+            chunk=min(cfg.shapes.knn_query_chunk, cfg.shapes.n_keyframe),
+            cap=cfg.shapes.cell_cap_knn,
+        )
     return c, nrm
 
 
@@ -119,6 +126,7 @@ def maybe_spawn(
     pose: jnp.ndarray,
     cfg: DloConfig,
     thresh_dist: jnp.ndarray,
+    backend: str = "hashgrid",
 ) -> tuple[KeyframeStore, jnp.ndarray]:
     """Full updateKeyframes step. Returns (store, spawned)."""
     position = se3.se3_translation(pose)
@@ -126,7 +134,7 @@ def maybe_spawn(
     dec = decide(kf, position, quat, thresh_dist, cfg.keyframe.thresh_rot)
 
     def spawn(_):
-        cloud, nrm = make_keyframe_cloud(scan, pose, cfg)
+        cloud, nrm = make_keyframe_cloud(scan, pose, cfg, backend)
         return insert(kf, position, quat, cloud, nrm)
 
     def keep(_):

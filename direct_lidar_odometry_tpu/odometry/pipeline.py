@@ -26,7 +26,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from direct_lidar_odometry_tpu.config import DloConfig
+from direct_lidar_odometry_tpu.config import DloConfig, resolve_backend
 from direct_lidar_odometry_tpu.core import se3
 from direct_lidar_odometry_tpu.core.cloud import PointCloud
 from direct_lidar_odometry_tpu.ops import hashgrid, preprocess as prep, voxel
@@ -37,6 +37,7 @@ from direct_lidar_odometry_tpu.odometry.state import (
     OdomState,
     empty_state,
 )
+from direct_lidar_odometry_tpu.utils.precision import f32_matmuls
 
 
 def preprocess_scan(
@@ -57,7 +58,13 @@ def preprocess_scan(
     return PointCloud(points=c.points[order], mask=c.mask[order])
 
 
-def _scan_normals(scan: PointCloud, cfg: DloConfig) -> covariance.Normals:
+def _scan_normals(scan: PointCloud, cfg: DloConfig, backend: str) -> covariance.Normals:
+    if backend in ("brute", "pallas"):
+        return covariance.estimate_normals_brute(
+            scan.points, scan.mask,
+            k=cfg.gicp.s2s.k_correspondences,
+            chunk=min(cfg.shapes.knn_query_chunk, cfg.shapes.n_scan),
+        )
     return covariance.estimate_normals_twoscale(
         scan.points,
         scan.mask,
@@ -70,6 +77,7 @@ def _scan_normals(scan: PointCloud, cfg: DloConfig) -> covariance.Normals:
 
 def init_frame(
     cfg: DloConfig,
+    backend: str,
     state: OdomState,
     raw_points: jnp.ndarray,
     raw_mask: jnp.ndarray,
@@ -81,11 +89,11 @@ def init_frame(
     (optionally with a gravity-aligned / known initial pose already set).
     """
     scan = preprocess_scan(raw_points, raw_mask, cfg)
-    nrm = _scan_normals(scan, cfg)
+    nrm = _scan_normals(scan, cfg, backend)
     spac = adaptive.update_spaciousness(
         state.spaciousness, scan.points, scan.mask, cfg.adaptive.lpf_alpha
     )
-    cloud_kf, nrm_kf = keyframes.make_keyframe_cloud(scan, state.pose, cfg)
+    cloud_kf, nrm_kf = keyframes.make_keyframe_cloud(scan, state.pose, cfg, backend)
     position = se3.se3_translation(state.pose)
     quat = se3.rotmat_to_quat(se3.se3_rotation(state.pose))
     kf = keyframes.insert(state.keyframes, position, quat, cloud_kf, nrm_kf)
@@ -102,6 +110,7 @@ def init_frame(
 
 def odom_frame(
     cfg: DloConfig,
+    backend: str,
     directions: jnp.ndarray,
     state: OdomState,
     raw_points: jnp.ndarray,
@@ -122,41 +131,42 @@ def odom_frame(
         thresh_dist = jnp.float32(cfg.keyframe.thresh_dist)
 
     # --- per-scan normals, computed exactly once (odom.cc:815,818) ---
-    nrm = _scan_normals(scan, cfg)
+    nrm = _scan_normals(scan, cfg, backend)
     src = gicp.GicpSource(
         points=scan.points, mask=scan.mask,
         normals=nrm.normals, normals_valid=nrm.valid,
     )
 
     # --- S2S: current scan against previous scan (odom.cc:801-809) ---
-    s2s_grid = hashgrid.build(
+    s2s_target = gicp.make_target(
         state.prev_points, state.prev_mask,
+        state.prev_normals, state.prev_normals_valid,
         cfg.gicp.s2s.max_correspondence_distance, shapes.grid_table_size,
-    )
-    s2s_target = gicp.GicpTarget(
-        grid=s2s_grid, normals=state.prev_normals,
-        normals_valid=state.prev_normals_valid,
+        backend=backend,
     )
     s2s_res = gicp.align(src, s2s_target, imu_prior, cfg.gicp.s2s,
-                         cap=shapes.cell_cap_1nn)
+                         cap=shapes.cell_cap_1nn, backend=backend)
 
     # --- propagate S2S into the global frame (odom.cc:812, 926-943) ---
     t_s2s_global = state.t_s2s @ s2s_res.transform
 
     # --- submap selection + assembly (odom.cc:825-834) ---
+    query_pos = se3.se3_translation(t_s2s_global)
     sel = submap.select_submap_keyframes(
         state.keyframes, state.submap_members,
-        se3.se3_translation(t_s2s_global), thresh_dist, cfg, directions,
+        query_pos, thresh_dist, cfg, directions,
     )
-    state = submap.assemble_submap(state, sel, cfg)
+    state = submap.assemble_submap(state, sel, query_pos, cfg, backend)
 
     # --- S2M: scan against submap, S2S-propagated guess (odom.cc:837-847) ---
     s2m_target = gicp.GicpTarget(
-        grid=state.submap_grid, normals=state.submap_normals,
+        points=state.submap_points, mask=state.submap_mask,
+        normals=state.submap_normals,
         normals_valid=state.submap_normals_valid,
+        grid=state.submap_grid,
     )
     s2m_res = gicp.align(src, s2m_target, t_s2s_global, cfg.gicp.s2m,
-                         cap=shapes.cell_cap_1nn)
+                         cap=shapes.cell_cap_1nn, backend=backend)
     # guard: if the submap stage produced no correspondences (e.g. tracking
     # lost), fall back to the S2S-propagated pose rather than garbage
     pose = jnp.where(s2m_res.num_correspondences > 0, s2m_res.transform,
@@ -164,7 +174,7 @@ def odom_frame(
 
     # --- keyframing (odom.cc:678, 1097-1181) ---
     kf, spawned = keyframes.maybe_spawn(
-        state.keyframes, scan, pose, cfg, thresh_dist
+        state.keyframes, scan, pose, cfg, thresh_dist, backend
     )
 
     position = se3.se3_translation(pose)
@@ -209,9 +219,10 @@ def make_step_fns(
     init_fn(state, raw_points, raw_mask) -> state
     step_fn(state, raw_points, raw_mask, imu_prior 4x4) -> (state, FrameResult)
     """
+    backend = resolve_backend(cfg)
     directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
-    init_fn = jax.jit(partial(init_frame, cfg))
-    step_fn = jax.jit(partial(odom_frame, cfg, directions))
+    init_fn = jax.jit(f32_matmuls(partial(init_frame, cfg, backend)))
+    step_fn = jax.jit(f32_matmuls(partial(odom_frame, cfg, backend, directions)))
     return init_fn, step_fn
 
 

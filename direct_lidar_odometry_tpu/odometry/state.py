@@ -14,7 +14,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from direct_lidar_odometry_tpu.config import DloConfig
+from direct_lidar_odometry_tpu.config import DloConfig, resolve_backend, submap_flat_size
 from direct_lidar_odometry_tpu.ops import hashgrid
 
 
@@ -58,7 +58,9 @@ class OdomState(NamedTuple):
     submap_mask: jnp.ndarray     # [S*Nk]
     submap_normals: jnp.ndarray  # [S*Nk, 3]
     submap_normals_valid: jnp.ndarray  # [S*Nk]
-    submap_grid: hashgrid.HashGrid  # cached S2M search grid (rebuilt on change)
+    # cached S2M hash grid (rebuilt on submap change); None when the
+    # "brute" backend is active (tiled search needs no index)
+    submap_grid: hashgrid.HashGrid | None
     spaciousness: jnp.ndarray    # f32 low-pass median range (odom.cc:1004-1006)
     frame_idx: jnp.ndarray       # int32
 
@@ -102,7 +104,8 @@ def empty_keyframes(cfg: DloConfig) -> KeyframeStore:
 def empty_state(cfg: DloConfig, initial_pose: jnp.ndarray | None = None) -> OdomState:
     n = cfg.shapes.n_scan
     k = cfg.shapes.max_keyframes
-    s_flat = cfg.shapes.max_submap_kf * cfg.shapes.n_keyframe
+    s_flat = submap_flat_size(cfg)
+    backend = resolve_backend(cfg)
     pose = jnp.eye(4, dtype=jnp.float32) if initial_pose is None else initial_pose
     empty_flat_pts = jnp.full((s_flat, 3), 1e6, jnp.float32)
     empty_flat_mask = jnp.zeros((s_flat,), bool)
@@ -119,11 +122,15 @@ def empty_state(cfg: DloConfig, initial_pose: jnp.ndarray | None = None) -> Odom
         submap_mask=empty_flat_mask,
         submap_normals=jnp.zeros((s_flat, 3), jnp.float32),
         submap_normals_valid=jnp.zeros((s_flat,), bool),
-        submap_grid=hashgrid.build(
-            empty_flat_pts,
-            empty_flat_mask,
-            cfg.gicp.s2m.max_correspondence_distance,
-            cfg.shapes.submap_table_size,
+        submap_grid=(
+            hashgrid.build(
+                empty_flat_pts,
+                empty_flat_mask,
+                cfg.gicp.s2m.max_correspondence_distance,
+                cfg.shapes.submap_table_size,
+            )
+            if backend == "hashgrid"
+            else None
         ),
         spaciousness=jnp.float32(-1.0),  # <0 = LPF unseeded (see adaptive.py)
         frame_idx=jnp.int32(0),

@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from direct_lidar_odometry_tpu.config import DloConfig
+from direct_lidar_odometry_tpu.config import DloConfig, submap_flat_size
 from direct_lidar_odometry_tpu.ops import hashgrid
 from direct_lidar_odometry_tpu.odometry import hulls
 from direct_lidar_odometry_tpu.odometry.state import KeyframeStore, OdomState
@@ -79,16 +79,23 @@ def select_submap_keyframes(
 
 
 def assemble_submap(
-    state: OdomState, sel: SubmapSelection, cfg: DloConfig
+    state: OdomState,
+    sel: SubmapSelection,
+    query_pos: jnp.ndarray,
+    cfg: DloConfig,
+    backend: str,
 ) -> OdomState:
-    """Rebuild the flattened submap cloud + normals + hash grid iff changed.
+    """Rebuild the flattened submap cloud + normals (+ hash grid) iff changed.
 
     Reference ``odom.cc:1309-1329`` (concatenate keyframe clouds and cached
-    normals) plus the grid build that the reference hides inside
-    ``gicp.setInputTarget`` (``odom.cc:828``).
+    normals) plus the index build the reference hides inside
+    ``gicp.setInputTarget`` (``odom.cc:828``). When the concatenation
+    exceeds ``shapes.n_submap_flat``, the points nearest ``query_pos`` are
+    kept (distant submap points cannot match a range-bounded scan anyway).
     """
     s_max = cfg.shapes.max_submap_kf
     nk = cfg.shapes.n_keyframe
+    flat_out = submap_flat_size(cfg)
     kf = state.keyframes
     k = kf.capacity
 
@@ -101,10 +108,20 @@ def assemble_submap(
         msk = (kf.masks[order] & slot_valid[:, None]).reshape(s_max * nk)
         nrm = kf.normals[order].reshape(s_max * nk, 3)
         nvl = (kf.normals_valid[order] & slot_valid[:, None]).reshape(s_max * nk)
-        grid = hashgrid.build(
-            pts, msk,
-            cfg.gicp.s2m.max_correspondence_distance,
-            cfg.shapes.submap_table_size,
+        if flat_out < s_max * nk:
+            d2 = jnp.sum((pts - query_pos) ** 2, axis=-1)
+            d2 = jnp.where(msk, d2, jnp.inf)
+            keep_order = jnp.argsort(d2)[:flat_out]
+            pts, msk = pts[keep_order], msk[keep_order]
+            nrm, nvl = nrm[keep_order], nvl[keep_order]
+        grid = (
+            hashgrid.build(
+                pts, msk,
+                cfg.gicp.s2m.max_correspondence_distance,
+                cfg.shapes.submap_table_size,
+            )
+            if backend == "hashgrid"
+            else None
         )
         return pts, msk, nrm, nvl, grid
 

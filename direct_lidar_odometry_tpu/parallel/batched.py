@@ -36,7 +36,12 @@ def make_batched_fns(cfg: DloConfig) -> tuple[Callable, Callable]:
     step_fn(states, raw_points, raw_mask, imu_priors[B,4,4])
         -> (states, FrameResult[B])
     """
+    from direct_lidar_odometry_tpu.config import resolve_backend
+
+    from direct_lidar_odometry_tpu.utils.precision import f32_matmuls
+
+    backend = resolve_backend(cfg)
     directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
-    init = jax.vmap(partial(pipeline.init_frame, cfg))
-    step = jax.vmap(partial(pipeline.odom_frame, cfg, directions))
-    return jax.jit(init), jax.jit(step)
+    init = jax.vmap(partial(pipeline.init_frame, cfg, backend))
+    step = jax.vmap(partial(pipeline.odom_frame, cfg, backend, directions))
+    return jax.jit(f32_matmuls(init)), jax.jit(f32_matmuls(step))

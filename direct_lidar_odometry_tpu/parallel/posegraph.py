@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from direct_lidar_odometry_tpu.core import se3
+from direct_lidar_odometry_tpu.utils.precision import f32_matmuls
 
 
 class PoseGraph(NamedTuple):
@@ -93,6 +94,7 @@ def apply_update(poses: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(upd)(poses, delta.reshape(-1, 6))
 
 
+@f32_matmuls
 def refine(
     graph: PoseGraph,
     iterations: int = 10,

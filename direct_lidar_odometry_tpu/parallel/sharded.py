@@ -45,8 +45,11 @@ def make_sharded_step(cfg: DloConfig, mesh: Mesh, axis: str = "seq") -> Callable
     A global health reduction (mean correspondence count, max error) is
     psum'd across the mesh as the cross-sequence fleet signal.
     """
+    from direct_lidar_odometry_tpu.config import resolve_backend
+
+    backend = resolve_backend(cfg)
     directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
-    local_step = jax.vmap(partial(pipeline.odom_frame, cfg, directions))
+    local_step = jax.vmap(partial(pipeline.odom_frame, cfg, backend, directions))
     spec = P(axis)
 
     def sharded(states, pts, mask, imu):
@@ -58,7 +61,9 @@ def make_sharded_step(cfg: DloConfig, mesh: Mesh, axis: str = "seq") -> Callable
         max_err = jax.lax.pmax(jnp.max(res.s2m_error), axis)
         return states, res, mean_corr, max_err
 
-    return jax.jit(
+    from direct_lidar_odometry_tpu.utils.precision import f32_matmuls
+
+    return jax.jit(f32_matmuls(
         jax.shard_map(
             sharded, mesh=mesh,
             in_specs=(spec, spec, spec, spec),
@@ -66,7 +71,7 @@ def make_sharded_step(cfg: DloConfig, mesh: Mesh, axis: str = "seq") -> Callable
             check_vma=False,  # while_loop carries from literals trip the
                               # varying-axis checker; semantics unaffected
         )
-    )
+    ))
 
 
 def make_distributed_refine(
@@ -85,11 +90,13 @@ def make_distributed_refine(
     def run(graph: posegraph.PoseGraph):
         return posegraph.refine(graph, iterations=iterations, axis_name=axis)
 
-    return jax.jit(
+    from direct_lidar_odometry_tpu.utils.precision import f32_matmuls
+
+    return jax.jit(f32_matmuls(
         jax.shard_map(
             run, mesh=mesh,
             in_specs=(spec_edges,),
             out_specs=(P(), P()),
             check_vma=False,
         )
-    )
+    ))

@@ -86,6 +86,28 @@ def estimate_normals(
     return Normals(normals=normal, valid=valid)
 
 
+def estimate_normals_brute(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int,
+    chunk: int = 2048,
+    min_neighbors: int = 3,
+) -> Normals:
+    """Normals from exact unbounded k-NN via tiled brute force.
+
+    The TPU path: matches the reference's kd-tree semantics exactly
+    (``nano_gicp_impl.hpp:313``, unbounded search) with zero gathers in
+    the distance phase. Preferred over the two-scale hash-grid variant
+    whenever O(N^2) distance FLOPs are cheaper than memory divergence —
+    i.e. on TPUs (see ops/bruteforce.py).
+    """
+    from direct_lidar_odometry_tpu.ops import bruteforce
+
+    kidx, _, kvalid = bruteforce.query_knn(points, mask, points, mask, k=k, chunk=chunk)
+    normal, valid, _ = _normals_from_knn(points, kidx, kvalid, mask, min_neighbors)
+    return Normals(normals=normal, valid=valid)
+
+
 def estimate_normals_twoscale(
     points: jnp.ndarray,
     mask: jnp.ndarray,

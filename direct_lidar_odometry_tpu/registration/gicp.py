@@ -35,16 +35,23 @@ import jax.numpy as jnp
 
 from direct_lidar_odometry_tpu.config import GicpStageConfig
 from direct_lidar_odometry_tpu.core import se3
-from direct_lidar_odometry_tpu.ops import hashgrid
+from direct_lidar_odometry_tpu.ops import bruteforce, hashgrid, pallas_nn
 from direct_lidar_odometry_tpu.registration.covariance import cov_from_normal
+from direct_lidar_odometry_tpu.utils.precision import f32_matmuls
 
 
 class GicpTarget(NamedTuple):
-    """A registration target: hash grid + per-point normals (original order)."""
+    """A registration target in original point order.
 
-    grid: hashgrid.HashGrid
+    ``grid`` is the hash index for the "hashgrid" backend and ``None`` for
+    the "brute" backend (tiled exhaustive search needs no index).
+    """
+
+    points: jnp.ndarray         # [Nt, 3]
+    mask: jnp.ndarray           # [Nt]
     normals: jnp.ndarray        # [Nt, 3]
     normals_valid: jnp.ndarray  # [Nt]
+    grid: hashgrid.HashGrid | None
 
 
 class GicpSource(NamedTuple):
@@ -64,9 +71,19 @@ class GicpResult(NamedTuple):
     num_correspondences: jnp.ndarray  # int32 at the last linearization
 
 
-def make_target(points, mask, normals, normals_valid, radius, table_size) -> GicpTarget:
-    grid = hashgrid.build(points, mask, radius, table_size)
-    return GicpTarget(grid=grid, normals=normals, normals_valid=normals_valid)
+def make_target(
+    points, mask, normals, normals_valid, radius, table_size,
+    backend: str = "hashgrid",
+) -> GicpTarget:
+    grid = (
+        hashgrid.build(points, mask, radius, table_size)
+        if backend == "hashgrid"
+        else None
+    )
+    return GicpTarget(
+        points=points, mask=mask, normals=normals,
+        normals_valid=normals_valid, grid=grid,
+    )
 
 
 def _sym_inv3(m: jnp.ndarray) -> jnp.ndarray:
@@ -102,14 +119,27 @@ class _Linearization(NamedTuple):
 
 
 def _update_correspondences(
-    x0: jnp.ndarray, src: GicpSource, target: GicpTarget, cfg: GicpStageConfig, cap: int
+    x0: jnp.ndarray, src: GicpSource, target: GicpTarget, cfg: GicpStageConfig,
+    cap: int, backend: str,
 ):
     """1-NN + Mahalanobis. Reference nano_gicp_impl.hpp:173-211."""
     r = x0[:3, :3]
     p_t = se3.transform_points(x0, src.points)  # [Ns, 3]
-    idx, _, found = hashgrid.query_1nn(
-        target.grid, p_t, src.mask, cfg.max_correspondence_distance, cap
-    )
+    if backend == "pallas":
+        idx, _, found = pallas_nn.query_1nn(
+            target.points, target.mask, p_t, src.mask,
+            cfg.max_correspondence_distance,
+        )
+    elif backend == "brute":
+        tile = min(8192, target.points.shape[0])
+        idx, _, found = bruteforce.query_1nn(
+            target.points, target.mask, p_t, src.mask,
+            cfg.max_correspondence_distance, tile=tile,
+        )
+    else:
+        idx, _, found = hashgrid.query_1nn(
+            target.grid, p_t, src.mask, cfg.max_correspondence_distance, cap
+        )
     j = jnp.clip(idx, 0, None)
     # both endpoints need usable normals; reference has covariances for all
     # points unconditionally, ours are masked (see covariance.py docstring)
@@ -124,37 +154,15 @@ def _update_correspondences(
     return corr, w, mahal, p_t
 
 
-def _residual_terms(x0, src: GicpSource, target: GicpTarget, corr, weight, mahal):
-    """e, M e, and per-point error for the current x0 with frozen corr."""
-    p_t = se3.transform_points(x0, src.points)
-    j = jnp.clip(corr, 0, None)
-    mu_b = target.grid.points[0] * 0  # placeholder to keep linter quiet
-    mu_b = _original_target_points(target)[j]
-    e = (mu_b - p_t) * weight[..., None]
-    me = jnp.einsum("nij,nj->ni", mahal, e)
-    err = jnp.sum(e * me)
-    return p_t, e, me, err
-
-
-def _original_target_points(target: GicpTarget) -> jnp.ndarray:
-    """Target points in original order (invert the grid's sort permutation)."""
-    # grid.points are sorted; scatter back once per align call would be
-    # wasteful — instead keep it simple: scatter via src_index.
-    n = target.grid.capacity
-    return (
-        jnp.zeros((n, 3), jnp.float32)
-        .at[target.grid.src_index]
-        .set(target.grid.points)
-    )
-
-
 def _linearize(
-    x0: jnp.ndarray, src: GicpSource, target: GicpTarget, tgt_points, cfg, cap
+    x0: jnp.ndarray, src: GicpSource, target: GicpTarget, cfg, cap, backend
 ) -> _Linearization:
     """Reference nano_gicp_impl.hpp:213-270 as one fused masked reduction."""
-    corr, weight, mahal, p_t = _update_correspondences(x0, src, target, cfg, cap)
+    corr, weight, mahal, p_t = _update_correspondences(
+        x0, src, target, cfg, cap, backend
+    )
     j = jnp.clip(corr, 0, None)
-    mu_b = tgt_points[j]
+    mu_b = target.points[j]
     e = (mu_b - p_t) * weight[..., None]           # [Ns, 3]
     me = jnp.einsum("nij,nj->ni", mahal, e)        # [Ns, 3]
     err = jnp.sum(e * me)
@@ -181,6 +189,7 @@ def _compute_error(x0, src: GicpSource, tgt_points, lin: _Linearization):
     p_t = se3.transform_points(x0, src.points)
     j = jnp.clip(lin.corr, 0, None)
     e = (tgt_points[j] - p_t) * lin.weight[..., None]
+    # NB: this gather over frozen correspondences is [Ns] rows — small
     me = jnp.einsum("nij,nj->ni", lin.mahal, e)
     return jnp.sum(e * me)
 
@@ -204,20 +213,23 @@ def _solve6(h: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.solve(h, -b)
 
 
+@f32_matmuls
 def align(
     src: GicpSource,
     target: GicpTarget,
     guess: jnp.ndarray,
     cfg: GicpStageConfig,
     cap: int,
+    backend: str = "hashgrid",
 ) -> GicpResult:
     """Register ``src`` onto ``target`` starting from ``guess`` (4x4).
 
     Faithful to ``LsqRegistration::computeTransformation``
     (``lsq_registration_impl.hpp:89-115``) with the reference-default LM
     inner step, or plain GN when ``cfg.optimizer == "gn"``.
+    ``backend``: "hashgrid" or "brute" (see config.resolve_backend).
     """
-    tgt_points = _original_target_points(target)
+    tgt_points = target.points
     eye6 = jnp.eye(6, dtype=jnp.float32)
 
     use_lm = cfg.optimizer == "lm"
@@ -227,7 +239,7 @@ def align(
 
         Returns (x_new, lambda_new, delta, ok, h).
         """
-        lin = _linearize(x0, src, target, tgt_points, cfg, cap)
+        lin = _linearize(x0, src, target, cfg, cap, backend)
         y0 = lin.error
         lm_lambda = jnp.where(
             lm_lambda < 0.0,
@@ -272,7 +284,7 @@ def align(
 
     def gn_step(x0, lm_lambda):
         """step_gn (lsq_registration_impl.hpp:142-158)."""
-        lin = _linearize(x0, src, target, tgt_points, cfg, cap)
+        lin = _linearize(x0, src, target, cfg, cap, backend)
         d = _solve6(lin.h, lin.b)
         delta = se3.se3_exp(d)
         x_new = _reorthonormalize(delta @ x0)

@@ -1,0 +1,78 @@
+"""Per-frame timing stats and the terminal dashboard.
+
+The reference's observability is a per-scan ANSI dashboard: pose, distance
+traveled, computation time (current/average), CPU/RAM
+(``odom.cc:1338-1423``). This module reproduces that as a host-side
+formatter over the runner's FrameStats, plus rolling timing aggregates.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class TimingStats:
+    """Rolling per-frame wall-clock stats (the ``comp_times`` analog,
+    reference ``odom.cc:631, 687, 1419``)."""
+
+    times_ms: list = field(default_factory=list)
+
+    def push(self, ms: float) -> None:
+        self.times_ms.append(ms)
+
+    @property
+    def current(self) -> float:
+        return self.times_ms[-1] if self.times_ms else 0.0
+
+    @property
+    def average(self) -> float:
+        return float(np.mean(self.times_ms)) if self.times_ms else 0.0
+
+    def steady_state(self, skip: int = 5):
+        t = np.asarray(self.times_ms[skip:])
+        if len(t) == 0:
+            return {}
+        return {
+            "median_ms": float(np.median(t)),
+            "p90_ms": float(np.percentile(t, 90)),
+            "mean_ms": float(t.mean()),
+            "fps": 1000.0 / float(np.median(t)),
+        }
+
+
+def rss_mb() -> float:
+    """Resident set size in MB from /proc (reference ``odom.cc:1367-1383``)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 1e6
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+def dashboard(frame_idx, position, quat, distance_traveled, timing: TimingStats,
+              num_keyframes, health=None) -> str:
+    """One-frame status block (reference ``debug()``, ``odom.cc:1338-1423``)."""
+    lines = [
+        "+" + "-" * 60 + "+",
+        f"| DLO-TPU  frame {frame_idx:<6}  keyframes {num_keyframes:<5}" + " " * 17 + "|",
+        f"| pos  [{position[0]:+8.2f} {position[1]:+8.2f} {position[2]:+8.2f}] m"
+        + " " * 17 + "|",
+        f"| quat [{quat[0]:+6.3f} {quat[1]:+6.3f} {quat[2]:+6.3f} {quat[3]:+6.3f}]"
+        + " " * 19 + "|",
+        f"| dist {distance_traveled:8.2f} m   comp {timing.current:7.1f} ms "
+        f"(avg {timing.average:7.1f})   |",
+        f"| RAM  {rss_mb():8.1f} MB" + " " * 41 + "|",
+    ]
+    if health is not None:
+        lines.append(
+            f"| s2s it {health.get('s2s_it', 0):<3} nc {health.get('s2s_nc', 0):<6} "
+            f"s2m it {health.get('s2m_it', 0):<3} nc {health.get('s2m_nc', 0):<6}"
+            + " " * 9 + "|"
+        )
+    lines.append("+" + "-" * 60 + "+")
+    return "\n".join(lines)
