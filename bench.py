@@ -46,10 +46,12 @@ def make_bench_world(n_frames: int, rng: np.random.Generator, small: bool):
             rng, n_frames=n_frames, extent=15.0, n_boxes=6, speed=0.4,
             ground_points=8000, density=6.0,
         ), 13.0, 8192
-    # KITTI-class density: ~60-100k visible points per 40 m scan
+    # KITTI-class density: ~80-110k visible points per 40 m scan, sized so
+    # render_scan never randomly subsamples (subsampled scans are near-
+    # disjoint point sets and alias scan matching — see synthetic.make_world)
     return synthetic.make_world(
         rng, n_frames=n_frames, extent=60.0, n_boxes=40, speed=1.0,
-        ground_points=250000, density=50.0,
+        ground_points=150000, density=25.0,
     ), 40.0, 131072
 
 
@@ -93,7 +95,7 @@ def main() -> None:
         t0 = time.perf_counter()
         res = runner.process_scan(scan, world.stamps[t])
         if res is not None:
-            jax.block_until_ready(res.pose)
+            np.asarray(res.pose)  # force full device sync through the tunnel
         times.append(time.perf_counter() - t0)
         if t in (0, 1, 2):
             print(f"# frame {t}: {times[-1]*1e3:.1f} ms (compile/warmup)", file=sys.stderr)
@@ -101,11 +103,25 @@ def main() -> None:
     steady = np.asarray(times[5:])
     ms = float(np.median(steady) * 1e3)
     fps = 1000.0 / ms
+    # accuracy gate: a fast-but-divergent pipeline must not report a score
+    from direct_lidar_odometry_tpu.io import evaluation
+
+    est = runner.trajectory()
+    gt = np.linalg.inv(world.poses[0])[None] @ world.poses[: len(est)]
+    ate = evaluation.ate(est, gt, align=False)
     print(
         f"# steady-state: median {ms:.2f} ms/frame, p90 "
-        f"{np.percentile(steady, 90)*1e3:.2f} ms, {runner.num_keyframes()} keyframes",
+        f"{np.percentile(steady, 90)*1e3:.2f} ms, {runner.num_keyframes()} keyframes, "
+        f"ATE {ate.rmse*100:.2f} cm",
         file=sys.stderr,
     )
+    if not np.isfinite(ate.rmse) or ate.rmse > 0.5:
+        print(json.dumps({
+            "metric": "odometry_frames_per_s_per_chip",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"diverged: ATE {ate.rmse:.3f} m",
+        }))
+        return
     print(
         json.dumps(
             {

@@ -37,18 +37,44 @@ def voxel_ids(points: jnp.ndarray, mask: jnp.ndarray, res: float) -> jnp.ndarray
     return jnp.where(mask, ids, jnp.iinfo(jnp.int32).max)
 
 
+def _scramble(ids: jnp.ndarray) -> jnp.ndarray:
+    """Murmur-style bijective mix of voxel ids (uint32 order)."""
+    h = ids.astype(jnp.uint32)
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
 def voxel_downsample(
     cloud: PointCloud, res: float, out_capacity: int | None = None
 ) -> PointCloud:
     """Centroid voxel filter. Output is compacted to the front.
 
     ``out_capacity`` defaults to the input capacity. If more voxels are
-    occupied than ``out_capacity``, the lowest-id voxels win (deterministic).
+    occupied than ``out_capacity``, a *spatially uniform* subset of voxels
+    survives: segments are ordered by a scrambled (hashed) voxel id, so
+    overflow degrades into uniform random downsampling. (Ordering by raw
+    id instead would keep one bounding-box corner of the scene and drop
+    the rest — observed to bias registration by meters.) Output order is
+    scrambled-id order.
     """
     n = cloud.capacity
     cap = out_capacity or n
     ids = voxel_ids(cloud.points, cloud.mask, res)
-    order = jnp.argsort(ids)  # invalid (INT32_MAX) sort to the end
+    # lexicographic (scrambled id, id) via two sorts: group equal ids, then
+    # stable-sort groups by scrambled key so same-id points stay adjacent
+    order1 = jnp.argsort(ids)
+    sids1 = ids[order1]
+    skey = jnp.where(
+        sids1 == jnp.iinfo(jnp.int32).max,
+        jnp.uint32(0xFFFFFFFF),
+        _scramble(sids1),
+    )
+    order2 = jnp.argsort(skey, stable=True)
+    order = order1[order2]
     sids = ids[order]
     spts = cloud.points[order]
     svalid = cloud.mask[order]

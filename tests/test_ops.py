@@ -51,8 +51,10 @@ def test_voxel_downsample_matches_oracle(rng):
     got = cl.to_numpy(out)
     want = numpy_voxel_oracle(pts, 0.5)
     assert got.shape == want.shape
-    # both are ordered by voxel id -> direct comparison
-    np.testing.assert_allclose(got, want, atol=1e-4)
+    # output order is scrambled-id; compare as lexicographically sorted sets
+    np.testing.assert_allclose(
+        got[np.lexsort(got.T)], want[np.lexsort(want.T)], atol=1e-4
+    )
 
 
 def test_voxel_downsample_respects_mask(rng):
@@ -62,7 +64,10 @@ def test_voxel_downsample_respects_mask(rng):
     c = cl.PointCloud(jnp.asarray(pts), jnp.asarray(mask))
     out = voxel.voxel_downsample(c, res=0.5)
     want = numpy_voxel_oracle(pts[:60], 0.5)
-    np.testing.assert_allclose(cl.to_numpy(out), want, atol=1e-4)
+    got = cl.to_numpy(out)
+    np.testing.assert_allclose(
+        got[np.lexsort(got.T)], want[np.lexsort(want.T)], atol=1e-4
+    )
 
 
 def test_voxel_output_compacted(rng):
@@ -188,3 +193,15 @@ def test_smallest_eigvec3_planar(rng):
     cov = np.cov(pts.T).astype(np.float32)
     v, _ = eigh3.smallest_eigvec3(jnp.asarray(cov))
     assert abs(float(jnp.dot(v, jnp.asarray(n, jnp.float32)))) > 0.999
+
+
+def test_voxel_overflow_is_spatially_uniform(rng):
+    """When voxels exceed capacity, the surviving subset must span the whole
+    cloud extent, not one bounding-box corner."""
+    pts = rng.uniform(0, 100, size=(2048, 3)).astype(np.float32)
+    out = voxel.voxel_downsample(cl.from_numpy(pts, 2048), res=0.5, out_capacity=256)
+    kept = cl.to_numpy(out)
+    assert len(kept) == 256
+    # uniform survival -> kept min/max close to the full extent in every axis
+    assert np.all(kept.min(axis=0) < 15.0)
+    assert np.all(kept.max(axis=0) > 85.0)
