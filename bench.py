@@ -28,6 +28,7 @@ def production_cfg(small: bool = False):
 
     if small:
         return DloConfig().replace(
+            s2s_prior="constant_velocity",
             shapes=ShapeConfig(
                 n_raw=8192, n_scan=8192, n_keyframe=8192, max_keyframes=64,
                 max_submap_kf=8, imu_window=64, grid_table_size=2 ** 14,
@@ -35,7 +36,7 @@ def production_cfg(small: bool = False):
                 knn_query_chunk=2048, hull_directions=32,
             )
         )
-    return DloConfig()  # production defaults from config.py
+    return DloConfig().replace(s2s_prior="constant_velocity")
 
 
 def make_bench_world(n_frames: int, rng: np.random.Generator, small: bool):

@@ -161,7 +161,7 @@ class ShapeConfig:
     max_keyframes: int = 512   # keyframe ring capacity
     max_submap_kf: int = 32    # max keyframes concatenated into the submap
                                # (reference cap is knn+kcv+kcc = 30 pre-dedup)
-    n_submap_flat: int | None = 131072  # assembled-submap point budget: on
+    n_submap_flat: int | None = 65536   # assembled-submap point budget: on
                                # change, the S*Nk concatenation is pruned to
                                # the n_submap_flat points nearest the current
                                # pose (None = keep all S*Nk). Bounds the
@@ -187,6 +187,12 @@ class DloConfig:
     # elsewhere — cell hashing beats O(Q*T) on CPUs). "brute" is the XLA
     # tiled-reduction fallback (ops/bruteforce.py).
     nn_backend: str = "auto"
+    # S2S initial guess: "imu" = the reference behavior (IMU rotational
+    # prior when enabled, identity otherwise; odom.cc:801-806);
+    # "constant_velocity" = seed with the previous frame's relative motion
+    # (framework addition — typically halves GICP iterations; when the IMU
+    # is enabled its rotation overrides the CV rotation).
+    s2s_prior: str = "imu"
     adaptive: AdaptiveConfig = field(default_factory=AdaptiveConfig)
     gravity_align: bool = False  # cfg/dlo.yaml:17 (needs IMU)
     initial_pose: InitialPoseConfig = field(default_factory=InitialPoseConfig)

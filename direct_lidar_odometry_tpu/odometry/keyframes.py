@@ -77,7 +77,13 @@ def make_keyframe_cloud(
     # instance (odom.cc:1172-1174), so k here is s2s.k_correspondences (10),
     # not s2m's 20 — s2m's own k is effectively unused upstream because its
     # covariances are always injected externally.
-    if backend in ("brute", "pallas"):
+    if backend == "pallas":
+        res = (cfg.preprocessing.voxel_submap.res
+               if cfg.preprocessing.voxel_submap.use else 0.5)
+        nrm = covariance.estimate_normals_radius(
+            c.points, c.mask, radius=3.0 * res
+        )
+    elif backend == "brute":
         nrm = covariance.estimate_normals_brute(
             c.points, c.mask,
             k=cfg.gicp.s2s.k_correspondences,

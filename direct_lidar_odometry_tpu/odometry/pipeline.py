@@ -59,7 +59,12 @@ def preprocess_scan(
 
 
 def _scan_normals(scan: PointCloud, cfg: DloConfig, backend: str) -> covariance.Normals:
-    if backend in ("brute", "pallas"):
+    if backend == "pallas":
+        res = cfg.preprocessing.voxel_scan.res if cfg.preprocessing.voxel_scan.use else 0.25
+        return covariance.estimate_normals_radius(
+            scan.points, scan.mask, radius=3.0 * res
+        )
+    if backend == "brute":
         return covariance.estimate_normals_brute(
             scan.points, scan.mask,
             k=cfg.gicp.s2s.k_correspondences,
@@ -144,7 +149,18 @@ def odom_frame(
         cfg.gicp.s2s.max_correspondence_distance, shapes.grid_table_size,
         backend=backend,
     )
-    s2s_res = gicp.align(src, s2s_target, imu_prior, cfg.gicp.s2s,
+    if cfg.s2s_prior == "constant_velocity":
+        # previous relative motion; IMU rotation (when fed) overrides the
+        # CV rotation since gyro integration is more trustworthy in turns
+        if cfg.imu.use:
+            guess = se3.make_se3(
+                imu_prior[:3, :3], state.last_delta[:3, 3]
+            )
+        else:
+            guess = state.last_delta
+    else:
+        guess = imu_prior  # reference behavior (odom.cc:801-806)
+    s2s_res = gicp.align(src, s2s_target, guess, cfg.gicp.s2s,
                          cap=shapes.cell_cap_1nn, backend=backend)
 
     # --- propagate S2S into the global frame (odom.cc:812, 926-943) ---
@@ -182,6 +198,7 @@ def odom_frame(
     new_state = state._replace(
         pose=pose,
         t_s2s=pose,  # T_s2s_prev <- T (odom.cc:843)
+        last_delta=se3.se3_inverse(state.pose) @ pose,
         prev_points=scan.points,
         prev_mask=scan.mask,
         prev_normals=nrm.normals,

@@ -45,6 +45,8 @@ class OdomState(NamedTuple):
 
     pose: jnp.ndarray            # [4, 4] current world pose T (odom.h:76)
     t_s2s: jnp.ndarray           # [4, 4] S2S-propagated pose T_s2s_prev (odom.h:77)
+    last_delta: jnp.ndarray      # [4, 4] inv(pose_{t-1}) @ pose_t — the
+                                 # constant-velocity S2S prior (see config)
     # previous preprocessed scan = next frame's S2S target (odom.cc:850)
     prev_points: jnp.ndarray     # [N, 3]
     prev_mask: jnp.ndarray       # [N]
@@ -112,6 +114,7 @@ def empty_state(cfg: DloConfig, initial_pose: jnp.ndarray | None = None) -> Odom
     return OdomState(
         pose=pose,
         t_s2s=pose,
+        last_delta=jnp.eye(4, dtype=jnp.float32),
         prev_points=jnp.full((n, 3), 1e6, jnp.float32),
         prev_mask=jnp.zeros((n,), bool),
         prev_normals=jnp.zeros((n, 3), jnp.float32),
