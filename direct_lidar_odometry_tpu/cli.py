@@ -1,0 +1,181 @@
+"""Command-line runner — the process entry point.
+
+Replaces the reference's ROS launch graph (``launch/dlo.launch`` starting
+``dlo_odom_node`` + ``dlo_map_node`` + RViz) with one offline/online
+process: read scans (KITTI dir or synthetic), run the jitted pipeline,
+print the live dashboard, write trajectory (KITTI/TUM), export the map
+(PLY/NPZ), optionally checkpoint/resume.
+
+Usage examples:
+    python -m direct_lidar_odometry_tpu --synthetic 100 --out-dir /tmp/run
+    python -m direct_lidar_odometry_tpu --kitti /data/kitti --sequence 00 \
+        --config cfg/tpu_dlo.yaml --map-ply map.ply --eval
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser("direct_lidar_odometry_tpu")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--kitti", help="KITTI odometry dataset root")
+    src.add_argument("--synthetic", type=int, metavar="N",
+                     help="run N synthetic frames (no dataset needed)")
+    ap.add_argument("--sequence", default="00", help="KITTI sequence id")
+    ap.add_argument("--config", help="YAML config (see cfg/tpu_dlo.yaml)")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                    help="dotted config override, e.g. gicp.s2s.max_iterations=16")
+    ap.add_argument("--frames", type=int, default=None, help="limit frame count")
+    ap.add_argument("--out-dir", default=".")
+    ap.add_argument("--traj-kitti", default="trajectory_kitti.txt")
+    ap.add_argument("--traj-tum", default="trajectory_tum.txt")
+    ap.add_argument("--map-ply", default=None, help="export map as PLY")
+    ap.add_argument("--checkpoint", default=None, help="save state here at exit")
+    ap.add_argument("--resume", default=None, help="restore state from checkpoint")
+    ap.add_argument("--eval", action="store_true",
+                    help="report ATE/RPE against ground truth if available")
+    ap.add_argument("--quiet", action="store_true", help="no per-frame dashboard")
+    ap.add_argument("--dashboard-every", type=int, default=10)
+    return ap
+
+
+def _parse_override(kv: str):
+    key, val = kv.split("=", 1)
+    for cast in (int, float):
+        try:
+            return key, cast(val)
+        except ValueError:
+            pass
+    if val.lower() in ("true", "false"):
+        return key, val.lower() == "true"
+    return key, val
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from direct_lidar_odometry_tpu.config import load_config
+    from direct_lidar_odometry_tpu.io import evaluation, kitti, ply, synthetic, trajectory
+    from direct_lidar_odometry_tpu.odometry.runner import OdometryRunner
+    from direct_lidar_odometry_tpu.utils import checkpoint, profiling
+
+    cfg = load_config(args.config, dict(_parse_override(s) for s in args.set))
+    runner = OdometryRunner(cfg)
+    timing = profiling.TimingStats()
+
+    # graceful shutdown: finish the frame, write outputs (the reference's
+    # SIGTERM -> abort timer -> stop() analog, odom_node.cc:12-16)
+    stop = {"flag": False}
+    signal.signal(signal.SIGINT, lambda *_: stop.__setitem__("flag", True))
+    signal.signal(signal.SIGTERM, lambda *_: stop.__setitem__("flag", True))
+
+    # --- frame source ---------------------------------------------------
+    gt_poses = None
+    if args.kitti:
+        seq = kitti.load_sequence(args.kitti, args.sequence)
+        n_frames = min(len(seq), args.frames or len(seq))
+        gt_poses = seq.poses
+
+        def frames():
+            for i in range(n_frames):
+                yield seq.scan(i), float(seq.stamps[i])
+    else:
+        rng = np.random.default_rng(0)
+        n_frames = args.frames or args.synthetic
+        # size the world to the configured raw-scan capacity so scans are
+        # never randomly subsampled (see synthetic.make_world docstring)
+        if cfg.shapes.n_raw >= 65536:
+            world = synthetic.make_world(
+                rng, n_frames=n_frames, extent=60.0, n_boxes=40, speed=1.0,
+                ground_points=150000, density=25.0,
+            )
+            max_range = 40.0
+        else:
+            world = synthetic.make_world(
+                rng, n_frames=n_frames, extent=15.0, n_boxes=6, speed=0.4,
+                ground_points=8000, density=6.0,
+            )
+            max_range = 13.0
+        gt_poses = world.poses
+
+        def frames():
+            for i in range(n_frames):
+                yield (
+                    synthetic.render_scan(world, i, rng, max_range=max_range,
+                                          max_points=cfg.shapes.n_raw),
+                    float(world.stamps[i]),
+                )
+
+    if args.resume:
+        runner.state, extra = checkpoint.load_state(args.resume, cfg)
+        runner.prev_stamp = extra.get("prev_stamp")
+        print(f"resumed from {args.resume}", file=sys.stderr)
+
+    # --- main loop --------------------------------------------------------
+    os.makedirs(args.out_dir, exist_ok=True)
+    distance = 0.0
+    last_pos = None
+    for i, (scan, stamp) in enumerate(frames()):
+        if stop["flag"]:
+            print("interrupted — writing outputs", file=sys.stderr)
+            break
+        res = runner.process_scan(scan, stamp)
+        timing.push(runner.stats[-1].wall_ms if runner.stats else 0.0)
+        pos = np.asarray(runner.state.pose)[:3, 3]
+        if last_pos is not None:
+            distance += float(np.linalg.norm(pos - last_pos))
+        last_pos = pos
+        if not args.quiet and res is not None and i % args.dashboard_every == 0:
+            quat = np.asarray(res.quat)
+            health = {
+                "s2s_it": int(res.s2s_iterations), "s2s_nc": int(res.s2s_num_corr),
+                "s2m_it": int(res.s2m_iterations), "s2m_nc": int(res.s2m_num_corr),
+            }
+            print(profiling.dashboard(i, pos, quat, distance, timing,
+                                      int(res.num_keyframes), health))
+
+    # --- outputs ----------------------------------------------------------
+    est = runner.trajectory()
+    trajectory.write_kitti(os.path.join(args.out_dir, args.traj_kitti), est)
+    trajectory.write_tum(
+        os.path.join(args.out_dir, args.traj_tum),
+        np.asarray(runner.stamps), est,
+    )
+    if args.map_ply and runner.state is not None:
+        m = runner.build_map()
+        ply.write_ply(os.path.join(args.out_dir, args.map_ply), m)
+        print(f"map: {len(m)} points -> {args.map_ply}", file=sys.stderr)
+    if args.checkpoint and runner.state is not None:
+        checkpoint.save_state(
+            os.path.join(args.out_dir, args.checkpoint), runner.state,
+            extra={"prev_stamp": runner.prev_stamp},
+        )
+
+    summary = {
+        "frames": len(est),
+        "keyframes": runner.num_keyframes(),
+        "distance_m": round(distance, 2),
+        **{k: round(v, 2) for k, v in timing.steady_state().items()},
+    }
+    if args.eval and gt_poses is not None and len(est) > 1:
+        gt_rel = np.linalg.inv(gt_poses[0])[None] @ gt_poses[: len(est)]
+        ate = evaluation.ate(est, gt_rel, align=False)
+        rpe_t, rpe_r = evaluation.rpe(est, gt_rel)
+        summary.update(
+            ate_rmse_m=round(ate.rmse, 4), ate_max_m=round(ate.max, 4),
+            rpe_trans_m=round(rpe_t, 4), rpe_rot_deg=round(rpe_r, 4),
+        )
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
