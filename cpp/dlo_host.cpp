@@ -1,0 +1,214 @@
+// Native host runtime for direct_lidar_odometry_tpu.
+//
+// The device pipeline consumes fixed-capacity point buffers; at production
+// scan rates the Python-side parsing/padding becomes the host bottleneck
+// (the reference keeps its whole host path in C++ — odom.cc preprocessing
+// via PCL, ROS deserialization). This library provides the equivalents:
+//
+//  - KITTI Velodyne .bin reading straight into a caller-provided buffer
+//  - NaN/crop/voxel preprocessing (reference preprocessPoints,
+//    odom.cc:443-465) with centroid voxels and scrambled-order overflow
+//    (spatially uniform truncation, mirroring ops/voxel.py)
+//  - a background prefetcher: a worker thread reads + preprocesses scans
+//    ahead of the consumer through a bounded SPSC ring, overlapping disk
+//    IO with device compute (the AsyncSpinner analog, odom_node.cc:27)
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this environment).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Vox {
+  float sx = 0.f, sy = 0.f, sz = 0.f;
+  uint32_t n = 0;
+};
+
+inline uint32_t fmix32(uint32_t h) {
+  h ^= h >> 16; h *= 0x85ebca6bu; h ^= h >> 13; h *= 0xc2b2ae35u; h ^= h >> 16;
+  return h;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Read a KITTI .bin (x,y,z,intensity f32 rows). Returns point count
+// written (xyz only) into out[3*max_points], or -1 on error.
+int64_t dlo_read_velodyne(const char* path, float* out, int64_t max_points) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::vector<float> row(4);
+  int64_t n = 0;
+  while (n < max_points && std::fread(row.data(), sizeof(float), 4, f) == 4) {
+    out[3 * n + 0] = row[0];
+    out[3 * n + 1] = row[1];
+    out[3 * n + 2] = row[2];
+    ++n;
+  }
+  std::fclose(f);
+  return n;
+}
+
+// NaN filter + inverse crop box (|x|,|y|,|z| <= crop all inside -> drop)
+// + centroid voxel downsample at `res` (res <= 0 disables voxelization).
+// Overflow beyond out_cap keeps a scrambled-hash-ordered (spatially
+// uniform) subset. Returns output count.
+int64_t dlo_preprocess(const float* in, int64_t n_in, float crop_size,
+                       float res, float* out, int64_t out_cap) {
+  if (res <= 0.f) {
+    int64_t m = 0;
+    for (int64_t i = 0; i < n_in && m < out_cap; ++i) {
+      const float x = in[3 * i], y = in[3 * i + 1], z = in[3 * i + 2];
+      if (!std::isfinite(x) || !std::isfinite(y) || !std::isfinite(z)) continue;
+      if (crop_size > 0.f && std::fabs(x) <= crop_size &&
+          std::fabs(y) <= crop_size && std::fabs(z) <= crop_size)
+        continue;
+      out[3 * m] = x; out[3 * m + 1] = y; out[3 * m + 2] = z;
+      ++m;
+    }
+    return m;
+  }
+
+  // pass 1: min corner of valid points
+  float mn[3] = {1e30f, 1e30f, 1e30f};
+  for (int64_t i = 0; i < n_in; ++i) {
+    const float x = in[3 * i], y = in[3 * i + 1], z = in[3 * i + 2];
+    if (!std::isfinite(x) || !std::isfinite(y) || !std::isfinite(z)) continue;
+    if (crop_size > 0.f && std::fabs(x) <= crop_size &&
+        std::fabs(y) <= crop_size && std::fabs(z) <= crop_size)
+      continue;
+    mn[0] = std::fmin(mn[0], x); mn[1] = std::fmin(mn[1], y);
+    mn[2] = std::fmin(mn[2], z);
+  }
+  // pass 2: accumulate voxels
+  std::unordered_map<uint32_t, Vox> vox;
+  vox.reserve(static_cast<size_t>(n_in));
+  const float inv = 1.f / res;
+  for (int64_t i = 0; i < n_in; ++i) {
+    const float x = in[3 * i], y = in[3 * i + 1], z = in[3 * i + 2];
+    if (!std::isfinite(x) || !std::isfinite(y) || !std::isfinite(z)) continue;
+    if (crop_size > 0.f && std::fabs(x) <= crop_size &&
+        std::fabs(y) <= crop_size && std::fabs(z) <= crop_size)
+      continue;
+    const uint32_t ix = static_cast<uint32_t>((x - mn[0]) * inv);
+    const uint32_t iy = static_cast<uint32_t>((y - mn[1]) * inv);
+    const uint32_t iz = static_cast<uint32_t>((z - mn[2]) * inv);
+    const uint32_t id =
+        (ix & 1023u) | ((iy & 1023u) << 10) | ((iz & 1023u) << 20);
+    Vox& v = vox[id];
+    v.sx += x; v.sy += y; v.sz += z; v.n += 1;
+  }
+  // emit in scrambled-id order; drop beyond capacity (uniform truncation)
+  std::vector<std::pair<uint32_t, const Vox*>> items;
+  items.reserve(vox.size());
+  for (const auto& kv : vox) items.emplace_back(fmix32(kv.first), &kv.second);
+  std::sort(items.begin(), items.end(),
+            [](const auto& a, const auto& b) { return a.first < b.first; });
+  const int64_t m = std::min<int64_t>(items.size(), out_cap);
+  for (int64_t i = 0; i < m; ++i) {
+    const Vox* v = items[i].second;
+    out[3 * i] = v->sx / v->n;
+    out[3 * i + 1] = v->sy / v->n;
+    out[3 * i + 2] = v->sz / v->n;
+  }
+  return m;
+}
+
+// ---------------------------------------------------------------------------
+// Background prefetcher: worker reads + preprocesses scans ahead through a
+// bounded ring. One producer (worker thread), one consumer (caller).
+// ---------------------------------------------------------------------------
+
+struct Feeder {
+  std::vector<std::string> files;
+  int64_t cap = 0;
+  float crop = 0.f, res = 0.f;
+  size_t depth = 4;
+
+  struct Slot {
+    std::vector<float> pts;
+    int64_t count = 0;
+    int64_t index = -1;
+  };
+  std::vector<Slot> ring;
+  std::atomic<int64_t> head{0};  // next slot the consumer reads
+  std::atomic<int64_t> tail{0};  // next slot the producer writes
+  std::mutex mu;
+  std::condition_variable cv_space, cv_data;
+  std::thread worker;
+  std::atomic<bool> stop{false};
+
+  void run() {
+    std::vector<float> raw(static_cast<size_t>(cap) * 3);
+    for (size_t i = 0; i < files.size() && !stop.load(); ++i) {
+      const int64_t n = dlo_read_velodyne(files[i].c_str(), raw.data(), cap);
+      Slot staged;
+      staged.pts.resize(static_cast<size_t>(cap) * 3);
+      staged.count =
+          n < 0 ? -1
+                : dlo_preprocess(raw.data(), n, crop, res, staged.pts.data(), cap);
+      staged.index = static_cast<int64_t>(i);
+      std::unique_lock<std::mutex> lk(mu);
+      cv_space.wait(lk, [&] {
+        return stop.load() ||
+               tail.load() - head.load() < static_cast<int64_t>(depth);
+      });
+      if (stop.load()) return;
+      ring[tail.load() % depth] = std::move(staged);
+      tail.fetch_add(1);
+      cv_data.notify_one();
+    }
+  }
+};
+
+void* dlo_feeder_create(const char** paths, int64_t n_files, int64_t cap,
+                        float crop, float res, int64_t depth) {
+  auto* f = new Feeder();
+  for (int64_t i = 0; i < n_files; ++i) f->files.emplace_back(paths[i]);
+  f->cap = cap;
+  f->crop = crop;
+  f->res = res;
+  f->depth = static_cast<size_t>(depth > 0 ? depth : 4);
+  f->ring.resize(f->depth);
+  f->worker = std::thread([f] { f->run(); });
+  return f;
+}
+
+// Blocks for the next scan; writes up to cap*3 floats into out. Returns
+// the point count, or -2 when the sequence is exhausted, -1 on read error.
+int64_t dlo_feeder_next(void* handle, float* out) {
+  auto* f = static_cast<Feeder*>(handle);
+  std::unique_lock<std::mutex> lk(f->mu);
+  const int64_t total = static_cast<int64_t>(f->files.size());
+  if (f->head.load() >= total) return -2;
+  f->cv_data.wait(lk, [&] { return f->tail.load() > f->head.load(); });
+  Feeder::Slot& s = f->ring[f->head.load() % f->depth];
+  const int64_t n = s.count;
+  if (n > 0) std::memcpy(out, s.pts.data(), static_cast<size_t>(n) * 3 * sizeof(float));
+  f->head.fetch_add(1);
+  f->cv_space.notify_one();
+  return n;
+}
+
+void dlo_feeder_destroy(void* handle) {
+  auto* f = static_cast<Feeder*>(handle);
+  f->stop.store(true);
+  f->cv_space.notify_all();
+  f->cv_data.notify_all();
+  if (f->worker.joinable()) f->worker.join();
+  delete f;
+}
+
+}  // extern "C"

@@ -80,13 +80,30 @@ def main(argv=None) -> int:
     # --- frame source ---------------------------------------------------
     gt_poses = None
     if args.kitti:
+        from direct_lidar_odometry_tpu.io import native
+
         seq = kitti.load_sequence(args.kitti, args.sequence)
         n_frames = min(len(seq), args.frames or len(seq))
         gt_poses = seq.poses
 
-        def frames():
-            for i in range(n_frames):
-                yield seq.scan(i), float(seq.stamps[i])
+        if native.available():
+            # native background prefetcher: raw reads only — the device
+            # pipeline does its own preprocessing (res=0 disables native
+            # voxelization to keep one canonical preprocessing path)
+            def frames():
+                feeder = native.ScanFeeder(
+                    seq.files[:n_frames], cap=cfg.shapes.n_raw,
+                    crop_size=0.0, res=0.0,
+                )
+                try:
+                    for i, scan in feeder:
+                        yield scan, float(seq.stamps[i])
+                finally:
+                    feeder.close()
+        else:
+            def frames():
+                for i in range(n_frames):
+                    yield seq.scan(i), float(seq.stamps[i])
     else:
         rng = np.random.default_rng(0)
         n_frames = args.frames or args.synthetic
