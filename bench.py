@@ -56,17 +56,70 @@ def make_bench_world(n_frames: int, rng: np.random.Generator, small: bool):
     ), 40.0, 131072
 
 
+def run_batched(args) -> None:
+    """Aggregate multi-sequence throughput (the DP axis) on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from direct_lidar_odometry_tpu.io import synthetic
+    from direct_lidar_odometry_tpu.parallel import batched
+
+    cfg = production_cfg(args.small)
+    b = args.batch
+    rng = np.random.default_rng(0)
+    world, max_range, max_pts = make_bench_world(args.frames, rng, args.small)
+    init_fn, step_fn = batched.make_batched_fns(cfg)
+    states = batched.batched_state(cfg, b)
+
+    def stack(t):
+        pts = np.full((b, cfg.shapes.n_raw, 3), 1e6, np.float32)
+        mask = np.zeros((b, cfg.shapes.n_raw), bool)
+        for i in range(b):
+            s = synthetic.render_scan(
+                world, t, np.random.default_rng(100 + i),
+                max_range=max_range, max_points=max_pts,
+            )
+            pts[i, : len(s)] = s
+            mask[i, : len(s)] = True
+        return jnp.asarray(pts), jnp.asarray(mask)
+
+    eye = jnp.tile(jnp.eye(4, dtype=jnp.float32), (b, 1, 1))
+    pts, mask = stack(0)
+    states = init_fn(states, pts, mask)
+    times = []
+    for t in range(1, args.frames):
+        f = stack(t)
+        t0 = time.perf_counter()
+        states, res = step_fn(states, *f, eye)
+        np.asarray(res.position)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times[3:]))
+    fps = b / med
+    print(f"# batched B={b}: {med*1e3:.1f} ms/step", file=sys.stderr)
+    print(json.dumps({
+        "metric": "odometry_frames_per_s_per_chip_batched",
+        "value": round(fps, 2), "unit": "frames/s",
+        "vs_baseline": round(fps / DLO_CPU_FPS, 3),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="measure aggregate multi-sequence throughput")
     args = ap.parse_args()
 
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.batch:
+        run_batched(args)
+        return
 
     import jax
 
