@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from direct_lidar_odometry_tpu.config import DloConfig
 from direct_lidar_odometry_tpu.core import se3
 from direct_lidar_odometry_tpu.core.cloud import PAD_VALUE, PointCloud
-from direct_lidar_odometry_tpu.ops import voxel
+from direct_lidar_odometry_tpu.ops import morton, voxel
 from direct_lidar_odometry_tpu.registration import covariance
 from direct_lidar_odometry_tpu.odometry.state import KeyframeStore
 
@@ -80,8 +80,13 @@ def make_keyframe_cloud(
     if backend == "pallas":
         res = (cfg.preprocessing.voxel_submap.res
                if cfg.preprocessing.voxel_submap.use else 0.5)
-        nrm = covariance.estimate_normals_radius(
-            c.points, c.mask, radius=3.0 * res
+        # Z-order the keyframe cloud: the pruned moment kernel needs it,
+        # and it keeps the stored cloud coherent for submap assembly
+        z = morton.sort_order(c.points, c.mask)
+        c = PointCloud(points=c.points[z], mask=c.mask[z])
+        clo, chi = morton.chunk_aabbs(c.points, c.mask, 512)
+        nrm = covariance.estimate_normals_radius_sorted(
+            c.points, c.mask, clo, chi, radius=3.0 * res
         )
     elif backend == "brute":
         nrm = covariance.estimate_normals_brute(

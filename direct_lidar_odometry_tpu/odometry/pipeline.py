@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from direct_lidar_odometry_tpu.config import DloConfig, resolve_backend
 from direct_lidar_odometry_tpu.core import se3
 from direct_lidar_odometry_tpu.core.cloud import PointCloud
-from direct_lidar_odometry_tpu.ops import hashgrid, preprocess as prep, voxel
+from direct_lidar_odometry_tpu.ops import hashgrid, morton, preprocess as prep, voxel
 from direct_lidar_odometry_tpu.registration import covariance, gicp
 from direct_lidar_odometry_tpu.odometry import adaptive, hulls, keyframes, submap
 from direct_lidar_odometry_tpu.odometry.state import (
@@ -41,28 +41,40 @@ from direct_lidar_odometry_tpu.utils.precision import f32_matmuls
 
 
 def preprocess_scan(
-    raw_points: jnp.ndarray, raw_mask: jnp.ndarray, cfg: DloConfig
+    raw_points: jnp.ndarray, raw_mask: jnp.ndarray, cfg: DloConfig,
+    backend: str = "pallas",
 ) -> PointCloud:
     """NaN/crop mask + voxel downsample into the n_scan capacity.
 
-    Reference ``preprocessPoints`` (``odom.cc:443-465``).
+    Reference ``preprocessPoints`` (``odom.cc:443-465``). The pallas
+    backend additionally Z-orders the result (see below).
     """
     crop = cfg.preprocessing.crop.size if cfg.preprocessing.crop.use else None
     c = prep.preprocess(PointCloud(points=raw_points, mask=raw_mask), crop)
     if cfg.preprocessing.voxel_scan.use:
-        return voxel.voxel_downsample(
+        c = voxel.voxel_downsample(
             c, cfg.preprocessing.voxel_scan.res, out_capacity=cfg.shapes.n_scan
         )
-    # no voxel: compact valid points to the front and truncate to capacity
-    order = jnp.argsort(~c.mask, stable=True)[: cfg.shapes.n_scan]
-    return PointCloud(points=c.points[order], mask=c.mask[order])
+    else:
+        # no voxel: compact valid points to the front and truncate to capacity
+        order = jnp.argsort(~c.mask, stable=True)[: cfg.shapes.n_scan]
+        c = PointCloud(points=c.points[order], mask=c.mask[order])
+    if backend == "pallas":
+        # Morton-sort once per scan: the pruned Pallas kernels skip whole
+        # [query-tile x target-chunk] blocks, and rigid transforms preserve
+        # the locality, so this one sort serves every GICP iteration AND
+        # next frame's S2S target (see ops/morton.py).
+        order = morton.sort_order(c.points, c.mask)
+        c = PointCloud(points=c.points[order], mask=c.mask[order])
+    return c
 
 
 def _scan_normals(scan: PointCloud, cfg: DloConfig, backend: str) -> covariance.Normals:
     if backend == "pallas":
         res = cfg.preprocessing.voxel_scan.res if cfg.preprocessing.voxel_scan.use else 0.25
-        return covariance.estimate_normals_radius(
-            scan.points, scan.mask, radius=3.0 * res
+        clo, chi = morton.chunk_aabbs(scan.points, scan.mask, 512)
+        return covariance.estimate_normals_radius_sorted(
+            scan.points, scan.mask, clo, chi, radius=3.0 * res
         )
     if backend == "brute":
         return covariance.estimate_normals_brute(
@@ -93,7 +105,7 @@ def init_frame(
     should come from :func:`direct_lidar_odometry_tpu.odometry.state.empty_state`
     (optionally with a gravity-aligned / known initial pose already set).
     """
-    scan = preprocess_scan(raw_points, raw_mask, cfg)
+    scan = preprocess_scan(raw_points, raw_mask, cfg, backend)
     nrm = _scan_normals(scan, cfg, backend)
     spac = adaptive.update_spaciousness(
         state.spaciousness, scan.points, scan.mask, cfg.adaptive.lpf_alpha
@@ -126,7 +138,7 @@ def odom_frame(
     shapes = cfg.shapes
 
     # --- preprocessing + metrics (odom.cc:650-659) ---
-    scan = preprocess_scan(raw_points, raw_mask, cfg)
+    scan = preprocess_scan(raw_points, raw_mask, cfg, backend)
     spac = adaptive.update_spaciousness(
         state.spaciousness, scan.points, scan.mask, cfg.adaptive.lpf_alpha
     )
@@ -175,7 +187,13 @@ def odom_frame(
     state = submap.assemble_submap(state, sel, query_pos, cfg, backend)
 
     # --- S2M: scan against submap, S2S-propagated guess (odom.cc:837-847) ---
+    if backend == "pallas":
+        # submap is Z-ordered at assembly; AABBs are cheap enough per frame
+        sm_lo, sm_hi = morton.chunk_aabbs(state.submap_points, state.submap_mask, 512)
+    else:
+        sm_lo = sm_hi = None
     s2m_target = gicp.GicpTarget(
+        chunk_lo=sm_lo, chunk_hi=sm_hi,
         points=state.submap_points, mask=state.submap_mask,
         normals=state.submap_normals,
         normals_valid=state.submap_normals_valid,
@@ -241,6 +259,32 @@ def make_step_fns(
     init_fn = jax.jit(f32_matmuls(partial(init_frame, cfg, backend)))
     step_fn = jax.jit(f32_matmuls(partial(odom_frame, cfg, backend, directions)))
     return init_fn, step_fn
+
+
+def make_quantized_step_fns(
+    cfg: DloConfig,
+) -> tuple[Callable, Callable]:
+    """Step fns taking the uint16 wire format (core/cloud.py QuantizedScan)
+    instead of f32 points + mask — dequantization happens on device inside
+    the jit, so the host->device path carries 2.2x fewer bytes.
+
+    init_fn(state, q, lo, scale, count) -> state
+    step_fn(state, q, lo, scale, count, imu_prior) -> (state, FrameResult)
+    """
+    from direct_lidar_odometry_tpu.core import cloud as cl
+
+    backend = resolve_backend(cfg)
+    directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
+
+    def init_q(state, q, lo, scale, count):
+        c = cl.dequantize(q, lo, scale, count)
+        return init_frame(cfg, backend, state, c.points, c.mask)
+
+    def step_q(state, q, lo, scale, count, imu_prior):
+        c = cl.dequantize(q, lo, scale, count)
+        return odom_frame(cfg, backend, directions, state, c.points, c.mask, imu_prior)
+
+    return jax.jit(f32_matmuls(init_q)), jax.jit(f32_matmuls(step_q))
 
 
 def fresh_state(cfg: DloConfig, initial_pose=None) -> OdomState:

@@ -32,7 +32,10 @@ class OdometryRunner:
 
     def __init__(self, cfg: DloConfig):
         self.cfg = cfg
-        self.init_fn, self.step_fn = pipeline.make_step_fns(cfg)
+        if cfg.quantize_transfer:
+            self.init_fn, self.step_fn = pipeline.make_quantized_step_fns(cfg)
+        else:
+            self.init_fn, self.step_fn = pipeline.make_step_fns(cfg)
         self.imu = (
             imu_mod.ImuBuffer(cfg.imu.calib_time, cfg.imu.buffer_size)
             if cfg.imu.use
@@ -64,8 +67,20 @@ class OdometryRunner:
             rot = se3.quat_to_rotmat(q)
         return se3.make_se3(rot, pos)
 
-    def process_scan(self, points: np.ndarray, stamp: float) -> FrameResult | None:
-        """One LiDAR frame. Returns None for rejected/initialization frames."""
+    def process_scan(
+        self, points: np.ndarray, stamp: float, sync: bool = False
+    ) -> FrameResult | None:
+        """One LiDAR frame. Returns None for rejected/initialization frames.
+
+        By default this only *dispatches* the frame: the returned
+        FrameResult holds device arrays and the call returns as soon as the
+        step is enqueued, so host prep of frame t+1 overlaps device compute
+        of frame t (the reference gets the same overlap from its detached
+        publish threads, ``odom.cc:690-695``). Pass ``sync=True`` (or touch
+        any result field) to block until the frame is done — then
+        ``FrameStats.wall_ms`` is true per-frame latency rather than
+        dispatch time.
+        """
         cfg = self.cfg
         t0 = time.perf_counter()
         if points.shape[0] < cfg.gicp.min_num_points:  # odom.cc:638-641
@@ -75,13 +90,18 @@ class OdometryRunner:
             # (odom.cc:589-591)
             return None
 
-        raw = cl.from_numpy(points[:, :3], cfg.shapes.n_raw)
+        if cfg.quantize_transfer:
+            qs = cl.quantize_for_transfer(points[:, :3], cfg.shapes.n_raw)
+            scan_args = (qs.q, qs.lo, qs.scale, qs.count)
+        else:
+            raw = cl.from_numpy(points[:, :3], cfg.shapes.n_raw)
+            scan_args = (raw.points, raw.mask)
 
         if self.state is None:
             state = pipeline.fresh_state(cfg, self._initial_pose())
-            self.state = self.init_fn(state, raw.points, raw.mask)
+            self.state = self.init_fn(state, *scan_args)
             self.prev_stamp = stamp
-            self.poses.append(np.asarray(self.state.pose))
+            self.poses.append(self.state.pose)
             self.stamps.append(stamp)
             self.stats.append(
                 FrameStats(stamp, (time.perf_counter() - t0) * 1e3, None)
@@ -97,16 +117,24 @@ class OdometryRunner:
                 jnp.asarray(window), jnp.int32(_count)
             )
 
-        self.state, result = self.step_fn(self.state, raw.points, raw.mask, imu_prior)
+        self.state, result = self.step_fn(self.state, *scan_args, imu_prior)
         self.prev_stamp = stamp
-        self.poses.append(np.asarray(result.pose))
+        self.poses.append(result.pose)
         self.stamps.append(stamp)
+        if sync:
+            # materialize a tiny output rather than block_until_ready: on
+            # tunneled-device transports the latter can return before the
+            # computation drains, a transfer cannot
+            np.asarray(result.position)
         self.stats.append(FrameStats(stamp, (time.perf_counter() - t0) * 1e3, result))
         return result
 
     # -- outputs ----------------------------------------------------------
     def trajectory(self) -> np.ndarray:
-        return np.stack(self.poses) if self.poses else np.zeros((0, 4, 4))
+        if not self.poses:
+            return np.zeros((0, 4, 4))
+        # single device->host materialization for the whole trajectory
+        return np.asarray(jnp.stack(self.poses))
 
     def build_map(self, out_capacity: int | None = None) -> np.ndarray:
         assert self.state is not None

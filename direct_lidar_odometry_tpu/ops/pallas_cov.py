@@ -21,7 +21,7 @@ Covariance from raw relative moments: mu = S1/n, C = S2/n - mu mu^T.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -30,23 +30,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BQ = 256
 _BT = 2048
+_BT_S = 512  # chunk size for the AABB-pruned variant (matches pallas_nn)
 
 
-def _cov_kernel(q_ref, t_ref, tbias_ref, out_ref, *, t_total: int, radius2: float):
+def _cov_kernel(q_ref, t_ref, tbias_ref, out_ref, *, t_total: int, radius2: float, bt: int = _BT):
     """q_ref [3,BQ]; t_ref [3,T]; tbias [1,T]; out_ref [10, BQ]:
     rows = (count, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz)."""
     qx = q_ref[0, :][:, None]
     qy = q_ref[1, :][:, None]
     qz = q_ref[2, :][:, None]
 
-    n_chunks = t_total // _BT
+    n_chunks = t_total // bt
 
     def body(j, acc):
-        off = j * _BT
-        tx = t_ref[0, pl.ds(off, _BT)][None, :]
-        ty = t_ref[1, pl.ds(off, _BT)][None, :]
-        tz = t_ref[2, pl.ds(off, _BT)][None, :]
-        bias = tbias_ref[0, pl.ds(off, _BT)][None, :]
+        off = j * bt
+        tx = t_ref[0, pl.ds(off, bt)][None, :]
+        ty = t_ref[1, pl.ds(off, bt)][None, :]
+        tz = t_ref[2, pl.ds(off, bt)][None, :]
+        bias = tbias_ref[0, pl.ds(off, bt)][None, :]
         dx = tx - qx  # [BQ, BT] query-relative offsets
         dy = ty - qy
         dz = tz - qz
@@ -84,7 +85,8 @@ def radius_moments(
     """[T,3],[T],[Q,3] -> [Q,10] raw relative moments within ``radius``."""
     t_total = points.shape[0]
     q_total = queries.shape[0]
-    assert t_total % _BT == 0, (t_total, _BT)
+    bt = min(_BT, t_total)
+    assert t_total % bt == 0, (t_total, _BT)
     assert q_total % _BQ == 0, (q_total, _BQ)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -94,7 +96,7 @@ def radius_moments(
     tbias = jnp.where(mask, 0.0, jnp.inf).astype(jnp.float32)[None, :]
 
     out = pl.pallas_call(
-        partial(_cov_kernel, t_total=t_total, radius2=float(radius) ** 2),
+        partial(_cov_kernel, t_total=t_total, bt=bt, radius2=float(radius) ** 2),
         grid=(q_total // _BQ,),
         in_specs=[
             pl.BlockSpec((3, _BQ), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -106,6 +108,149 @@ def radius_moments(
         interpret=interpret,
     )(tq, tt, tbias)
     return out.T  # [Q, 10]
+
+
+def _cov_pruned_kernel(
+    cnt_ref, cand_ref, q_ref, t_ref, tbias_ref, out_ref, *, qc: int, radius2: float
+):
+    """AABB-pruned moments: one (batch b, query tile i) grid step visiting
+    candidate chunks only (lists from pallas_nn.candidate_chunks; dynamic
+    trip count, no branches). Refs: cnt [B*Qc] / cand [B*Qc, C] SMEM;
+    q [1, 3, BQ]; t [1, 3, T]; tbias [1, 1, T]; out [1, 10, BQ]."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    row = b * qc + i
+    qx = q_ref[0, 0, :][:, None]
+    qy = q_ref[0, 1, :][:, None]
+    qz = q_ref[0, 2, :][:, None]
+
+    def body(k, acc):
+        j = cand_ref[row, k]
+        off = pl.multiple_of(j * _BT_S, _BT_S)
+        tx = t_ref[0, 0, pl.ds(off, _BT_S)][None, :]
+        ty = t_ref[0, 1, pl.ds(off, _BT_S)][None, :]
+        tz = t_ref[0, 2, pl.ds(off, _BT_S)][None, :]
+        bias = tbias_ref[0, 0, pl.ds(off, _BT_S)][None, :]
+        dx = tx - qx  # [BQ, BT_S] query-relative offsets
+        dy = ty - qy
+        dz = tz - qz
+        d2 = dx * dx + dy * dy + dz * dz + bias
+        w = (d2 <= radius2).astype(jnp.float32)
+        wdx = w * dx
+        wdy = w * dy
+        wdz = w * dz
+        return (
+            acc[0] + jnp.sum(w, axis=1),
+            acc[1] + jnp.sum(wdx, axis=1),
+            acc[2] + jnp.sum(wdy, axis=1),
+            acc[3] + jnp.sum(wdz, axis=1),
+            acc[4] + jnp.sum(wdx * dx, axis=1),
+            acc[5] + jnp.sum(wdx * dy, axis=1),
+            acc[6] + jnp.sum(wdx * dz, axis=1),
+            acc[7] + jnp.sum(wdy * dy, axis=1),
+            acc[8] + jnp.sum(wdy * dz, axis=1),
+            acc[9] + jnp.sum(wdz * dz, axis=1),
+        )
+
+    init = tuple(jnp.zeros((_BQ,), jnp.float32) for _ in range(10))
+    acc = jax.lax.fori_loop(0, cnt_ref[row], body, init)
+    for i_row in range(10):
+        out_ref[0, i_row, :] = acc[i_row]
+
+
+def _pruned_moments_batched(
+    points, mask, chunk_lo, chunk_hi, queries, query_mask,
+    radius: float, interpret: bool,
+):
+    """Batched pruned radius moments. All inputs carry a leading [B] axis."""
+    from direct_lidar_odometry_tpu.ops import morton, pallas_nn
+
+    b_total, t_total = points.shape[0], points.shape[1]
+    q_total = queries.shape[1]
+    assert t_total % _BT_S == 0, (t_total, _BT_S)
+    assert q_total % _BQ == 0, (q_total, _BQ)
+    qc = q_total // _BQ
+
+    qlo, qhi = jax.vmap(lambda p, m: morton.chunk_aabbs(p, m, _BQ))(
+        queries, query_mask
+    )
+    cand, counts = jax.vmap(
+        lambda a, b, c, d: pallas_nn.candidate_chunks(a, b, c, d, radius)
+    )(qlo, qhi, chunk_lo, chunk_hi)
+    n_c = cand.shape[-1]
+
+    tq = jnp.swapaxes(queries, 1, 2).astype(jnp.float32)
+    tt = jnp.swapaxes(points, 1, 2).astype(jnp.float32)
+    tbias = jnp.where(mask, 0.0, jnp.inf).astype(jnp.float32)[:, None, :]
+
+    out = pl.pallas_call(
+        partial(_cov_pruned_kernel, qc=qc, radius2=radius * radius),
+        grid=(b_total, qc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts [B*Qc]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cand [B*Qc, C]
+            pl.BlockSpec((1, 3, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 3, t_total), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, t_total), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 10, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_total, 10, q_total), jnp.float32),
+        interpret=interpret,
+    )(counts.reshape(b_total * qc), cand.reshape(b_total * qc, n_c), tq, tt, tbias)
+    return jnp.swapaxes(out, 1, 2)  # [B, Q, 10]
+
+
+@lru_cache(maxsize=None)
+def _pruned_moments_fn(radius: float, interpret: bool):
+    """custom_vmap wrapper (see pallas_nn._pruned_1nn_fn rationale)."""
+
+    def single(tp, tm, clo, chi, q, qm):
+        out = _pruned_moments_batched(
+            tp[None], tm[None], clo[None], chi[None], q[None], qm[None],
+            radius, interpret,
+        )
+        return out[0]
+
+    f = jax.custom_batching.custom_vmap(single)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        full = tuple(
+            a if ab else jnp.broadcast_to(a, (axis_size,) + a.shape)
+            for a, ab in zip(args, in_batched)
+        )
+        return _pruned_moments_batched(*full, radius, interpret), True
+
+    return f
+
+
+def radius_moments_sorted(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    chunk_lo: jnp.ndarray,
+    chunk_hi: jnp.ndarray,
+    queries: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    radius: float,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Pruned radius moments over a Morton-sorted cloud.
+
+    Same output as :func:`radius_moments` for all *valid* queries (invalid
+    queries may differ — callers must mask on ``query_mask``). ``radius``
+    must be a static float; chunk AABBs from ``ops.morton.chunk_aabbs``
+    with chunk 512.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fn = _pruned_moments_fn(float(radius), bool(interpret))
+    return fn(points, mask, chunk_lo, chunk_hi, queries, query_mask)
 
 
 def moments_to_cov(m: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -19,7 +19,7 @@ bruteforce.query_1nn / hashgrid.query_1nn).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -27,10 +27,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BQ = 256   # queries per grid step
-_BT = 2048  # target chunk per inner iteration
+_BT = 2048  # target chunk per inner iteration (exhaustive kernel)
+_BT_S = 512  # target chunk for the AABB-pruned kernel (finer = more skips)
 
 
-def _nn1_kernel(q_ref, t_ref, tbias_ref, d2_ref, idx_ref, *, t_total: int):
+def _nn1_kernel(q_ref, t_ref, tbias_ref, d2_ref, idx_ref, *, t_total: int, bt: int = _BT):
     """One BQ-tile of queries vs all targets.
 
     q_ref:    [3, BQ]   query tile (planar)
@@ -43,15 +44,15 @@ def _nn1_kernel(q_ref, t_ref, tbias_ref, d2_ref, idx_ref, *, t_total: int):
     qy = q_ref[1, :][:, None]
     qz = q_ref[2, :][:, None]
 
-    n_chunks = t_total // _BT
+    n_chunks = t_total // bt
 
     def body(j, carry):
-        best_d2, best_idx = carry  # [BQ], [BQ] (as [BQ,1] 2D? keep [BQ])
-        off = j * _BT
-        tx = t_ref[0, pl.ds(off, _BT)][None, :]  # [1, BT]
-        ty = t_ref[1, pl.ds(off, _BT)][None, :]
-        tz = t_ref[2, pl.ds(off, _BT)][None, :]
-        bias = tbias_ref[0, pl.ds(off, _BT)][None, :]
+        best_d2, best_idx = carry  # [BQ], [BQ]
+        off = j * bt
+        tx = t_ref[0, pl.ds(off, bt)][None, :]  # [1, BT]
+        ty = t_ref[1, pl.ds(off, bt)][None, :]
+        tz = t_ref[2, pl.ds(off, bt)][None, :]
+        bias = tbias_ref[0, pl.ds(off, bt)][None, :]
         dx = qx - tx
         dy = qy - ty
         dz = qz - tz
@@ -86,7 +87,8 @@ def query_1nn(
     """
     t_total = target_points.shape[0]
     q_total = queries.shape[0]
-    assert t_total % _BT == 0, (t_total, _BT)
+    bt = min(_BT, t_total)
+    assert t_total % bt == 0, (t_total, _BT)
     assert q_total % _BQ == 0, (q_total, _BQ)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -96,7 +98,7 @@ def query_1nn(
     tbias = jnp.where(target_mask, 0.0, jnp.inf).astype(jnp.float32)[None, :]
 
     d2, idx = pl.pallas_call(
-        partial(_nn1_kernel, t_total=t_total),
+        partial(_nn1_kernel, t_total=t_total, bt=bt),
         grid=(q_total // _BQ,),
         in_specs=[
             pl.BlockSpec((3, _BQ), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -119,3 +121,190 @@ def query_1nn(
     radius2 = jnp.asarray(radius, jnp.float32) ** 2
     found = query_mask & (best_d2 < radius2)
     return jnp.where(found, best_idx, -1), best_d2, found
+
+
+def candidate_chunks(
+    qlo: jnp.ndarray, qhi: jnp.ndarray,
+    chunk_lo: jnp.ndarray, chunk_hi: jnp.ndarray,
+    radius: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-query-tile candidate target-chunk lists (the kd-tree analog).
+
+    qlo/qhi [3, Qc], chunk_lo/chunk_hi [3, C] (masked AABBs from
+    ops.morton.chunk_aabbs). Returns (cand [Qc, C] int32 — candidate chunk
+    indices packed to the front of each row — and counts [Qc] int32).
+    A chunk is a candidate iff the AABB-AABB squared gap <= radius^2;
+    conservative, so any target within ``radius`` of any query in the tile
+    lies in a candidate chunk. Empty chunks/tiles carry +-inf bounds and
+    are never candidates.
+    """
+    g1 = chunk_lo.T[None, :, :] - qhi.T[:, None, :]   # [Qc, C, 3]
+    g2 = qlo.T[:, None, :] - chunk_hi.T[None, :, :]
+    g = jnp.maximum(jnp.maximum(g1, g2), 0.0)
+    gap2 = jnp.sum(g * g, axis=-1)                    # [Qc, C]
+    visit = gap2 <= jnp.float32(radius * radius)
+    c = visit.shape[1]
+    # pack candidate indices first (stable, ascending chunk order)
+    key = jnp.where(visit, 0, 1).astype(jnp.int32)
+    idx = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), visit.shape)
+    _, cand = jax.lax.sort_key_val(key, idx, dimension=1)
+    counts = jnp.sum(visit, axis=1).astype(jnp.int32)
+    return cand, counts
+
+
+def _nn1_pruned_kernel(
+    cnt_ref, cand_ref, q_ref, t_ref, tbias_ref, d2_ref, idx_ref, *, qc: int
+):
+    """One (batch b, query tile i) grid step vs its candidate chunks only.
+
+    cnt_ref: [B*Qc] SMEM candidate counts; cand_ref: [B*Qc, C] SMEM
+    candidate chunk indices (first cnt valid per row); q_ref [1, 3, BQ];
+    t_ref [1, 3, T]; tbias_ref [1, 1, T]; outputs [1, 1, BQ]. The chunk
+    loop has a dynamic trip count — skipped chunks cost nothing, not even
+    a branch. This is the kd-tree's branch-and-bound, at tile granularity.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    row = b * qc + i
+    qx = q_ref[0, 0, :][:, None]  # [BQ, 1]
+    qy = q_ref[0, 1, :][:, None]
+    qz = q_ref[0, 2, :][:, None]
+
+    def body(k, carry):
+        best_d2, best_idx = carry
+        j = cand_ref[row, k]
+        off = pl.multiple_of(j * _BT_S, _BT_S)
+        tx = t_ref[0, 0, pl.ds(off, _BT_S)][None, :]
+        ty = t_ref[0, 1, pl.ds(off, _BT_S)][None, :]
+        tz = t_ref[0, 2, pl.ds(off, _BT_S)][None, :]
+        bias = tbias_ref[0, 0, pl.ds(off, _BT_S)][None, :]
+        dx = qx - tx
+        dy = qy - ty
+        dz = qz - tz
+        d2 = dx * dx + dy * dy + dz * dz + bias  # [BQ, BT_S]
+        arg = jnp.argmin(d2, axis=-1)
+        cmin = jnp.min(d2, axis=-1)
+        better = cmin < best_d2
+        return (
+            jnp.where(better, cmin, best_d2),
+            jnp.where(better, off + arg.astype(jnp.int32), best_idx),
+        )
+
+    init = (
+        jnp.full((_BQ,), jnp.inf, jnp.float32),
+        jnp.full((_BQ,), -1, jnp.int32),
+    )
+    best_d2, best_idx = jax.lax.fori_loop(0, cnt_ref[row], body, init)
+    d2_ref[0, 0, :] = best_d2
+    idx_ref[0, 0, :] = best_idx
+
+
+def _pruned_1nn_batched(
+    target_points, target_mask, chunk_lo, chunk_hi, queries, query_mask,
+    radius: float, interpret: bool,
+):
+    """Batched pruned search. All inputs carry a leading [B] axis."""
+    from direct_lidar_odometry_tpu.ops import morton
+
+    b_total, t_total = target_points.shape[0], target_points.shape[1]
+    q_total = queries.shape[1]
+    assert t_total % _BT_S == 0, (t_total, _BT_S)
+    assert q_total % _BQ == 0, (q_total, _BQ)
+    qc = q_total // _BQ
+
+    qlo, qhi = jax.vmap(lambda p, m: morton.chunk_aabbs(p, m, _BQ))(
+        queries, query_mask
+    )  # [B, 3, Qc]
+    cand, counts = jax.vmap(
+        lambda a, b, c, d: candidate_chunks(a, b, c, d, radius)
+    )(qlo, qhi, chunk_lo, chunk_hi)  # [B, Qc, C], [B, Qc]
+    n_c = cand.shape[-1]
+
+    tq = jnp.swapaxes(queries, 1, 2).astype(jnp.float32)        # [B, 3, Q]
+    tt = jnp.swapaxes(target_points, 1, 2).astype(jnp.float32)  # [B, 3, T]
+    tbias = jnp.where(target_mask, 0.0, jnp.inf).astype(jnp.float32)[:, None, :]
+
+    d2, idx = pl.pallas_call(
+        partial(_nn1_pruned_kernel, qc=qc),
+        grid=(b_total, qc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts [B*Qc]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cand [B*Qc, C]
+            pl.BlockSpec((1, 3, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 3, t_total), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, t_total), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_total, 1, q_total), jnp.float32),
+            jax.ShapeDtypeStruct((b_total, 1, q_total), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts.reshape(b_total * qc), cand.reshape(b_total * qc, n_c), tq, tt, tbias)
+
+    best_d2 = d2[:, 0, :]
+    best_idx = idx[:, 0, :]
+    found = query_mask & (best_d2 < radius * radius)
+    return jnp.where(found, best_idx, -1), best_d2, found
+
+
+@lru_cache(maxsize=None)
+def _pruned_1nn_fn(radius: float, interpret: bool):
+    """custom_vmap wrapper so ``jax.vmap`` (parallel/batched.py) maps onto
+    the natively-batched grid instead of pallas' default batching (which
+    cannot express per-batch SMEM candidate lists)."""
+
+    def single(tp, tm, clo, chi, q, qm):
+        out = _pruned_1nn_batched(
+            tp[None], tm[None], clo[None], chi[None], q[None], qm[None],
+            radius, interpret,
+        )
+        return jax.tree.map(lambda x: x[0], out)
+
+    f = jax.custom_batching.custom_vmap(single)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        full = tuple(
+            a if ab else jnp.broadcast_to(a, (axis_size,) + a.shape)
+            for a, ab in zip(args, in_batched)
+        )
+        out = _pruned_1nn_batched(*full, radius, interpret)
+        return out, (True, True, True)
+
+    return f
+
+
+def query_1nn_sorted(
+    target_points: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    chunk_lo: jnp.ndarray,
+    chunk_hi: jnp.ndarray,
+    queries: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    radius: float,
+    interpret: bool | None = None,
+):
+    """Exact 1-NN within ``radius`` over a Morton-sorted target cloud.
+
+    ``chunk_lo``/``chunk_hi`` are [3, T//512] masked chunk AABBs from
+    :func:`ops.morton.chunk_aabbs`. Targets (and ideally queries) should be
+    Z-ordered — correctness never depends on it, only the skip rate.
+    ``radius`` must be a static Python float (it is baked into the
+    candidate pruning test). Results match :func:`query_1nn` exactly for
+    every query whose nearest neighbor lies within ``radius``; other
+    queries report ``found=False`` either way.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fn = _pruned_1nn_fn(float(radius), bool(interpret))
+    return fn(
+        target_points, target_mask, chunk_lo, chunk_hi, queries, query_mask
+    )

@@ -135,6 +135,30 @@ def estimate_normals_radius(
     return Normals(normals=normal, valid=valid)
 
 
+def estimate_normals_radius_sorted(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    chunk_lo: jnp.ndarray,
+    chunk_hi: jnp.ndarray,
+    radius: float,
+    min_neighbors: int = 4,
+    interpret: bool | None = None,
+) -> Normals:
+    """:func:`estimate_normals_radius` over a Morton-sorted cloud, using the
+    AABB-pruned moment kernel (~4x fewer pair ops at scan density)."""
+    from direct_lidar_odometry_tpu.ops import pallas_cov
+
+    m = pallas_cov.radius_moments_sorted(
+        points, mask, chunk_lo, chunk_hi, points, mask, radius,
+        interpret=interpret,
+    )
+    cov, count = pallas_cov.moments_to_cov(m)
+    normal, _ = eigh3.smallest_eigvec3(cov)
+    valid = mask & (count >= min_neighbors)
+    normal = jnp.where(valid[..., None], normal, jnp.asarray([0.0, 0.0, 1.0]))
+    return Normals(normals=normal, valid=valid)
+
+
 def estimate_normals_twoscale(
     points: jnp.ndarray,
     mask: jnp.ndarray,

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from direct_lidar_odometry_tpu.config import GicpStageConfig
 from direct_lidar_odometry_tpu.core import se3
-from direct_lidar_odometry_tpu.ops import bruteforce, hashgrid, pallas_nn
+from direct_lidar_odometry_tpu.ops import bruteforce, hashgrid, morton, pallas_nn
 from direct_lidar_odometry_tpu.registration.covariance import cov_from_normal
 from direct_lidar_odometry_tpu.utils.precision import f32_matmuls
 
@@ -44,7 +44,11 @@ class GicpTarget(NamedTuple):
     """A registration target in original point order.
 
     ``grid`` is the hash index for the "hashgrid" backend and ``None`` for
-    the "brute" backend (tiled exhaustive search needs no index).
+    the "brute" backend (tiled exhaustive search needs no index). For the
+    "pallas" backend the target cloud must be Morton-sorted (see
+    ops/morton.py) and ``chunk_lo``/``chunk_hi`` hold its [3, Nt//512]
+    per-chunk AABBs — the branch-and-bound index that replaces the
+    reference's kd-tree build (``nano_gicp_impl.hpp:127,137``).
     """
 
     points: jnp.ndarray         # [Nt, 3]
@@ -52,6 +56,8 @@ class GicpTarget(NamedTuple):
     normals: jnp.ndarray        # [Nt, 3]
     normals_valid: jnp.ndarray  # [Nt]
     grid: hashgrid.HashGrid | None
+    chunk_lo: jnp.ndarray | None = None  # [3, Nt//512] (pallas backend)
+    chunk_hi: jnp.ndarray | None = None
 
 
 class GicpSource(NamedTuple):
@@ -75,14 +81,23 @@ def make_target(
     points, mask, normals, normals_valid, radius, table_size,
     backend: str = "hashgrid",
 ) -> GicpTarget:
+    """Build the per-backend search index over the target cloud.
+
+    For ``backend="pallas"`` the caller must supply ``points`` already in
+    Morton order (pipeline sorts every scan once after preprocessing).
+    """
     grid = (
         hashgrid.build(points, mask, radius, table_size)
         if backend == "hashgrid"
         else None
     )
+    chunk_lo = chunk_hi = None
+    if backend == "pallas":
+        chunk_lo, chunk_hi = morton.chunk_aabbs(points, mask, 512)
     return GicpTarget(
         points=points, mask=mask, normals=normals,
         normals_valid=normals_valid, grid=grid,
+        chunk_lo=chunk_lo, chunk_hi=chunk_hi,
     )
 
 
@@ -126,9 +141,9 @@ def _update_correspondences(
     r = x0[:3, :3]
     p_t = se3.transform_points(x0, src.points)  # [Ns, 3]
     if backend == "pallas":
-        idx, _, found = pallas_nn.query_1nn(
-            target.points, target.mask, p_t, src.mask,
-            cfg.max_correspondence_distance,
+        idx, _, found = pallas_nn.query_1nn_sorted(
+            target.points, target.mask, target.chunk_lo, target.chunk_hi,
+            p_t, src.mask, cfg.max_correspondence_distance,
         )
     elif backend == "brute":
         tile = min(8192, target.points.shape[0])
