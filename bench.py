@@ -3,10 +3,12 @@
 Run by the driver on real TPU hardware each round; prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline denominator: the reference publishes no numbers (BASELINE.md);
-until the in-repo C++ CPU baseline lands, ``DLO_CPU_FPS`` below is the
-provisional reference operating point (20 ms/scan class CPU performance,
-see BASELINE.md), so vs_baseline = our_fps / DLO_CPU_FPS.
+Baseline denominator: the reference publishes no numbers, so it is
+MEASURED by cpp/dlo_baseline (a from-scratch C++/OpenMP reproduction of
+the reference pipeline) on the exact same synthetic sequence: 3.94 fps on
+this 2-core host, extrapolated x4 to the 8-core desktop class the
+reference targets (BASELINE.md "Measured reference baseline").
+vs_baseline = our_fps / DLO_CPU_FPS.
 
 Usage: python bench.py [--frames N] [--small] [--cpu]
 """
@@ -20,7 +22,7 @@ import time
 
 import numpy as np
 
-DLO_CPU_FPS = 50.0  # provisional reference CPU rate (BASELINE.md)
+DLO_CPU_FPS = 15.8  # measured 3.94 fps (2 cores) x4 desktop extrapolation
 
 
 def production_cfg(small: bool = False):
