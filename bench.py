@@ -107,11 +107,14 @@ def run_batched(args) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--frames", type=int, default=45)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--batch", type=int, default=None,
                     help="measure aggregate multi-sequence throughput")
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="frames per device dispatch in the steady loop "
+                         "(lax.scan chunking; 1 = per-frame dispatch)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -154,20 +157,46 @@ def main() -> None:
         latencies.append(time.perf_counter() - t0)
         print(f"# frame {t}: {latencies[-1]*1e3:.1f} ms (compile/warmup)", file=sys.stderr)
 
-    # throughput: pipelined dispatch (host prep overlaps device compute),
-    # synced every flush_every frames to bound in-flight depth, wall-clocked
-    # across the whole steady segment
+    # throughput: chunked dispatch (lax.scan over K frames per device call)
+    # amortizes the fixed per-dispatch host round-trip — dominant on
+    # tunneled transports — while host prep of chunk i+1 overlaps device
+    # compute of chunk i. chunk=1 falls back to per-frame pipelined
+    # dispatch synced every flush_every frames.
+    chunk = max(1, args.chunk)
+    start = warmup
+    if chunk > 1 and len(scans) - warmup > chunk:
+        tc = time.perf_counter()
+        r = runner.process_chunk(
+            scans[warmup : warmup + chunk],
+            [float(s) for s in world.stamps[warmup : warmup + chunk]],
+        )
+        np.asarray(r.position)
+        print(
+            f"# chunk compile ({chunk} frames): {time.perf_counter()-tc:.1f} s",
+            file=sys.stderr,
+        )
+        start = warmup + chunk
+
     flush_every = 8
     t0 = time.perf_counter()
     res = None
-    for t in range(warmup, len(scans)):
-        res = runner.process_scan(
-            scans[t], world.stamps[t], sync=(t % flush_every == 0)
-        )
+    t = start
+    while t < len(scans):
+        if chunk > 1 and t + chunk <= len(scans):
+            res = runner.process_chunk(
+                scans[t : t + chunk],
+                [float(s) for s in world.stamps[t : t + chunk]],
+            )
+            t += chunk
+        else:
+            res = runner.process_scan(
+                scans[t], world.stamps[t], sync=(chunk == 1 and t % flush_every == 0)
+            )
+            t += 1
     if res is not None:
         np.asarray(res.position)  # drain the tail
     wall = time.perf_counter() - t0
-    n_steady = len(scans) - warmup
+    n_steady = len(scans) - start
     ms = wall / max(n_steady, 1) * 1e3
     fps = 1000.0 / ms
 

@@ -287,5 +287,45 @@ def make_quantized_step_fns(
     return jax.jit(f32_matmuls(init_q)), jax.jit(f32_matmuls(step_q))
 
 
+def make_chunked_step_fn(cfg: DloConfig) -> Callable:
+    """One device dispatch for K frames via ``lax.scan`` over the step.
+
+    chunk_fn(state, *stacked_scan_args, imu_priors) -> (state, FrameResult)
+    where every scan arg and the prior carry a leading [K] axis and the
+    returned FrameResult fields are stacked [K, ...].
+
+    Why: on tunneled/remote device transports each dispatch pays a fixed
+    host round-trip that can rival the ~20 ms of device compute per frame.
+    Scanning K frames inside one jitted call pays it once per K frames —
+    the offline-throughput analog of the reference keeping its whole loop
+    in-process (``odom.cc:629-697``). The scan body is identical to
+    :func:`odom_frame`, so results match single-frame stepping.
+
+    Wire format follows ``cfg.quantize_transfer`` exactly like
+    :func:`make_step_fns` / :func:`make_quantized_step_fns`.
+    """
+    from direct_lidar_odometry_tpu.core import cloud as cl
+
+    backend = resolve_backend(cfg)
+    directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
+
+    if cfg.quantize_transfer:
+        def body(state, xs):
+            q, lo, scale, count, imu_prior = xs
+            c = cl.dequantize(q, lo, scale, count)
+            return odom_frame(
+                cfg, backend, directions, state, c.points, c.mask, imu_prior
+            )
+    else:
+        def body(state, xs):
+            pts, mask, imu_prior = xs
+            return odom_frame(cfg, backend, directions, state, pts, mask, imu_prior)
+
+    def chunk_fn(state, *stacked):
+        return jax.lax.scan(body, state, stacked)
+
+    return jax.jit(f32_matmuls(chunk_fn))
+
+
 def fresh_state(cfg: DloConfig, initial_pose=None) -> OdomState:
     return empty_state(cfg, initial_pose)

@@ -41,6 +41,7 @@ class OdometryRunner:
             if cfg.imu.use
             else None
         )
+        self._chunk_fn = None
         self.state: OdomState | None = None
         self.prev_stamp: float | None = None
         self.poses: list[np.ndarray] = []
@@ -128,6 +129,60 @@ class OdometryRunner:
             np.asarray(result.position)
         self.stats.append(FrameStats(stamp, (time.perf_counter() - t0) * 1e3, result))
         return result
+
+    def process_chunk(self, scans, stamps) -> FrameResult:
+        """K frames in ONE device dispatch (offline/throughput path).
+
+        Requires an initialized state (feed the first frames through
+        :meth:`process_scan`). Scans whose point count is below
+        ``min_num_points`` must be filtered by the caller. Returns the
+        stacked FrameResult; poses/stamps bookkeeping matches per-frame
+        stepping. The dispatch is async like ``process_scan`` — touch any
+        result field to synchronize.
+        """
+        assert self.state is not None, "initialize with process_scan first"
+        cfg = self.cfg
+        k = len(scans)
+        assert k == len(stamps) and k > 0
+        t0 = time.perf_counter()
+
+        priors = np.tile(np.eye(4, dtype=np.float32), (k, 1, 1))
+        if cfg.imu.use and self.imu is not None:
+            prev = self.prev_stamp
+            for i, stamp in enumerate(stamps):
+                window, count = self.imu.window(prev, stamp, cfg.shapes.imu_window)
+                priors[i] = np.asarray(
+                    imu_mod.integrate_window(jnp.asarray(window), jnp.int32(count))
+                )
+                prev = stamp
+
+        if cfg.quantize_transfer:
+            qs = [cl.quantize_for_transfer(s[:, :3], cfg.shapes.n_raw) for s in scans]
+            stacked = (
+                np.stack([x.q for x in qs]),
+                np.stack([x.lo for x in qs]),
+                np.stack([x.scale for x in qs]),
+                np.stack([x.count for x in qs]),
+            )
+        else:
+            pts = np.full((k, cfg.shapes.n_raw, 3), cl.PAD_VALUE, np.float32)
+            mask = np.zeros((k, cfg.shapes.n_raw), bool)
+            for i, s in enumerate(scans):
+                m = min(len(s), cfg.shapes.n_raw)
+                pts[i, :m] = s[:m, :3]
+                mask[i, :m] = True
+            stacked = (pts, mask)
+
+        if self._chunk_fn is None:
+            self._chunk_fn = pipeline.make_chunked_step_fn(cfg)
+        self.state, res = self._chunk_fn(self.state, *stacked, jnp.asarray(priors))
+        self.prev_stamp = stamps[-1]
+        wall = (time.perf_counter() - t0) * 1e3 / k
+        for i in range(k):
+            self.poses.append(res.pose[i])
+            self.stamps.append(stamps[i])
+            self.stats.append(FrameStats(stamps[i], wall, None))
+        return res
 
     # -- outputs ----------------------------------------------------------
     def trajectory(self) -> np.ndarray:

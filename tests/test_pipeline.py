@@ -123,6 +123,34 @@ def test_pipeline_with_imu_prior(world):
     assert res.rmse < 0.10, f"ATE RMSE {res.rmse:.3f} m"
 
 
+def test_chunked_stepping_matches_single(world):
+    """process_chunk (lax.scan over K frames, one dispatch) must track the
+    per-frame step path: same pipeline body, so poses agree to float fuzz."""
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(3)
+    scans, stamps = [], []
+    for t in range(10):
+        scans.append(synthetic.render_scan(
+            world, t, rng, max_range=SCAN_RANGE, max_points=8192))
+        stamps.append(world.stamps[t])
+
+    single = OdometryRunner(cfg)
+    for s, st in zip(scans, stamps):
+        single.process_scan(s, st)
+
+    chunked = OdometryRunner(cfg)
+    chunked.process_scan(scans[0], stamps[0])  # init frame
+    chunked.process_scan(scans[1], stamps[1])  # one warm single step
+    chunked.process_chunk(scans[2:6], stamps[2:6])
+    chunked.process_chunk(scans[6:10], stamps[6:10])
+
+    est_a = single.trajectory()
+    est_b = chunked.trajectory()
+    assert est_a.shape == est_b.shape == (10, 4, 4)
+    np.testing.assert_allclose(est_a, est_b, atol=5e-3)
+    assert single.num_keyframes() == chunked.num_keyframes()
+
+
 def test_checkpoint_roundtrip(world, tmp_path):
     """State is a pytree of arrays -> trivially checkpointable (SURVEY §5 gap)."""
     import jax
