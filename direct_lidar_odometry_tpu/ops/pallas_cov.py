@@ -174,7 +174,7 @@ def _pruned_moments_batched(
     qlo, qhi = jax.vmap(lambda p, m: morton.chunk_aabbs(p, m, _BQ))(
         queries, query_mask
     )
-    cand, counts = jax.vmap(
+    cand, counts, _gaps = jax.vmap(
         lambda a, b, c, d: pallas_nn.candidate_chunks(a, b, c, d, radius)
     )(qlo, qhi, chunk_lo, chunk_hi)
     n_c = cand.shape[-1]

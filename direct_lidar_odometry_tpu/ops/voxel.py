@@ -7,7 +7,8 @@ Replaces ``pcl::VoxelGrid`` (reference ``odom.cc:126-127, 459-463``;
 2. linearize to a collision-free int32 id (grid extents clamped to 1024^3
    cells, i.e. 256 m at 0.25 m resolution — beyond-extent points are capped
    into edge cells, matching PCL's bounded-bbox behavior closely enough);
-3. sort by id (single radix sort — the only O(N log N) step);
+3. sort by scrambled (bijectively hashed) id — ONE radix sort groups
+   equal ids and randomizes group order for uniform overflow;
 4. mark segment starts, compact segment slots by prefix-sum, and
    scatter-add points into per-voxel accumulators;
 5. centroid = sum / count, emitted compacted-to-front.
@@ -64,17 +65,14 @@ def voxel_downsample(
     n = cloud.capacity
     cap = out_capacity or n
     ids = voxel_ids(cloud.points, cloud.mask, res)
-    # lexicographic (scrambled id, id) via two sorts: group equal ids, then
-    # stable-sort groups by scrambled key so same-id points stay adjacent
-    order1 = jnp.argsort(ids)
-    sids1 = ids[order1]
-    skey = jnp.where(
-        sids1 == jnp.iinfo(jnp.int32).max,
-        jnp.uint32(0xFFFFFFFF),
-        _scramble(sids1),
-    )
-    order2 = jnp.argsort(skey, stable=True)
-    order = order1[order2]
+    # ONE sort suffices: _scramble is bijective, so equal ids share a key
+    # (stay adjacent) and distinct ids get distinct keys — sorting by the
+    # scrambled key alone both groups voxels and randomizes group order.
+    # Invalid points all carry the INT32_MAX sentinel id, i.e. one shared
+    # key; they land somewhere in the middle as a single block and are
+    # dropped by the svalid gating below without consuming a segment slot.
+    skey = _scramble(ids)
+    order = jnp.argsort(skey)
     sids = ids[order]
     spts = cloud.points[order]
     svalid = cloud.mask[order]

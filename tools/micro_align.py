@@ -102,7 +102,7 @@ def main() -> None:
     # candidate stats: how many chunks does the average query tile visit?
     from direct_lidar_odometry_tpu.ops.pallas_nn import candidate_chunks
     qlo, qhi = morton.chunk_aabbs(scan.points, scan.mask, 256)
-    _, counts = candidate_chunks(qlo, qhi, tgt.chunk_lo, tgt.chunk_hi, r)
+    _, counts, _ = candidate_chunks(qlo, qhi, tgt.chunk_lo, tgt.chunk_hi, r)
     print(f"# candidate chunks/tile: mean {float(jnp.mean(counts)):.1f} "
           f"max {int(jnp.max(counts))} of {tgt.points.shape[0]//512}", file=sys.stderr)
 
@@ -116,6 +116,52 @@ def main() -> None:
     cv = vox_fn(c0)
     mort_fn = jax.jit(lambda c: morton.sort_order(c.points, c.mask))
 
+    # remaining frame pieces: normals, s2s target build, submap, s2m, keyframe
+    from direct_lidar_odometry_tpu.odometry import hulls, keyframes, submap
+    from direct_lidar_odometry_tpu.core import se3
+
+    directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
+    nrm_fn = jax.jit(lambda s: pipeline._scan_normals(s, cfg, backend))
+    tgt_fn = jax.jit(
+        lambda st: gicp.make_target(
+            st.prev_points, st.prev_mask, st.prev_normals, st.prev_normals_valid,
+            cfg.gicp.s2s.max_correspondence_distance, cfg.shapes.grid_table_size,
+            backend=backend,
+        )
+    )
+    qpos = se3.se3_translation(state.pose)
+
+    def submap_fn(st, q):
+        sel = submap.select_submap_keyframes(
+            st.keyframes, st.submap_members, q, jnp.float32(5.0), cfg, directions
+        )
+        st2 = submap.assemble_submap(st, sel, q, cfg, backend)
+        return st2.submap_points
+
+    sub_fn = jax.jit(f32_matmuls(submap_fn))
+
+    def s2m_fn(st, g2):
+        sm_lo, sm_hi = morton.chunk_aabbs(st.submap_points, st.submap_mask, 512)
+        t = gicp.GicpTarget(
+            chunk_lo=sm_lo, chunk_hi=sm_hi,
+            points=st.submap_points, mask=st.submap_mask,
+            normals=st.submap_normals, normals_valid=st.submap_normals_valid,
+            grid=st.submap_grid,
+        )
+        return gicp.align(src, t, g2, cfg.gicp.s2m,
+                          cap=cfg.shapes.cell_cap_1nn, backend=backend)
+
+    s2m_jit = jax.jit(f32_matmuls(s2m_fn))
+
+    kf_fn = jax.jit(f32_matmuls(
+        lambda st, p: keyframes.maybe_spawn(
+            st.keyframes, scan, p, cfg, jnp.float32(5.0), backend)[0].count
+    ))
+    step_full = jax.jit(f32_matmuls(
+        lambda st, p, m: pipeline.odom_frame(
+            cfg, backend, directions, st, p, m, jnp.eye(4, dtype=jnp.float32))
+    ))
+
     rows = [
         ("pallas 1nn only", timeit(nn_fn, scan.points)),
         ("update_correspondences", timeit(corr_fn, g)),
@@ -124,6 +170,12 @@ def main() -> None:
         ("prep mask/crop 131k", timeit(pre_fn, pts, msk)),
         ("voxel_downsample 131k", timeit(vox_fn, c0)),
         ("morton sort 32k", timeit(mort_fn, cv)),
+        ("scan normals", timeit(nrm_fn, scan)),
+        ("s2s make_target", timeit(tgt_fn, state)),
+        ("submap select+assemble", timeit(sub_fn, state, qpos)),
+        ("s2m align", timeit(s2m_jit, state, state.pose)),
+        ("keyframe maybe_spawn", timeit(kf_fn, state, state.pose)),
+        ("FULL odom_frame", timeit(step_full, state, pts, msk, n=10)),
     ]
     for name, ms in rows:
         print(f"{name:28s} {ms:8.3f} ms")
