@@ -82,8 +82,8 @@ def make_keyframe_cloud(
                if cfg.preprocessing.voxel_submap.use else 0.5)
         # Z-order the keyframe cloud: the pruned moment kernel needs it,
         # and it keeps the stored cloud coherent for submap assembly
-        z = morton.sort_order(c.points, c.mask)
-        c = PointCloud(points=c.points[z], mask=c.mask[z])
+        zp, zm = morton.sort_cloud(c.points, c.mask)
+        c = PointCloud(points=zp, mask=zm)
         clo, chi = morton.chunk_aabbs(c.points, c.mask, 512)
         nrm = covariance.estimate_normals_radius_sorted(
             c.points, c.mask, clo, chi, radius=3.0 * res

@@ -64,8 +64,8 @@ def preprocess_scan(
         # [query-tile x target-chunk] blocks, and rigid transforms preserve
         # the locality, so this one sort serves every GICP iteration AND
         # next frame's S2S target (see ops/morton.py).
-        order = morton.sort_order(c.points, c.mask)
-        c = PointCloud(points=c.points[order], mask=c.mask[order])
+        zp, zm = morton.sort_cloud(c.points, c.mask)
+        c = PointCloud(points=zp, mask=zm)
     return c
 
 

@@ -60,6 +60,26 @@ def sort_order(
     return order
 
 
+def sort_cloud(
+    points: jnp.ndarray, mask: jnp.ndarray, cell: float = DEFAULT_CELL
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Z-order the cloud directly: ``(points [N,3], mask [N])`` sorted.
+
+    Coordinates ride along as sort payloads — one multi-operand sort beats
+    :func:`sort_order` + two gathers (~1.6x at 131k on v5e). Invalid points
+    sort last (sentinel code 0xFFFFFFFF).
+    """
+    import jax
+
+    codes = morton_codes(points, mask, cell)
+    _, sx, sy, sz, sv = jax.lax.sort(
+        (codes, points[:, 0], points[:, 1], points[:, 2],
+         mask.astype(jnp.float32)),
+        num_keys=1,
+    )
+    return jnp.stack([sx, sy, sz], axis=-1), sv > 0.5
+
+
 def chunk_aabbs(
     points: jnp.ndarray, mask: jnp.ndarray, chunk: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -62,6 +62,8 @@ def voxel_downsample(
     the rest — observed to bias registration by meters.) Output order is
     scrambled-id order.
     """
+    import jax
+
     n = cloud.capacity
     cap = out_capacity or n
     ids = voxel_ids(cloud.points, cloud.mask, res)
@@ -71,11 +73,16 @@ def voxel_downsample(
     # Invalid points all carry the INT32_MAX sentinel id, i.e. one shared
     # key; they land somewhere in the middle as a single block and are
     # dropped by the svalid gating below without consuming a segment slot.
+    # Coordinates ride along as sort payloads — a multi-operand sort beats
+    # argsort + three 131k gathers ~1.6x on v5e.
     skey = _scramble(ids)
-    order = jnp.argsort(skey)
-    sids = ids[order]
-    spts = cloud.points[order]
-    svalid = cloud.mask[order]
+    _, sids, sx, sy, sz, sv = jax.lax.sort(
+        (skey, ids, cloud.points[:, 0], cloud.points[:, 1], cloud.points[:, 2],
+         cloud.mask.astype(jnp.float32)),
+        num_keys=1,
+    )
+    spts = jnp.stack([sx, sy, sz], axis=-1)
+    svalid = sv > 0.5
 
     first = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), sids[1:] != sids[:-1]], axis=0
