@@ -24,6 +24,7 @@ def update_spaciousness(
 
     The reference seeds the LPF with the first median (static local
     ``median_prev = median_curr``); prev < 0 marks "unseeded" here.
+
     """
     med = preprocess.masked_median(preprocess.ranges(points), mask)
     seeded = prev >= 0.0

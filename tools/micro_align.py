@@ -16,14 +16,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, n=20):
+    """On the tunneled transport block_until_ready can return before the
+    computation drains; a tiny device->host transfer cannot (runner.py)."""
     import jax
+    import numpy as np
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf[:1] if getattr(leaf, "ndim", 0) else leaf)
 
     out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / n * 1e3
 
 
