@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from direct_lidar_odometry_tpu.ops.pallas_nn import _IDX_BITS as pallas_nn_idx_bits
+
 _BQ = 128   # smaller tile = tighter AABB = fewer candidate chunks (v5e-measured)
 _BT = 2048
 _BT_S = 512  # chunk size for the AABB-pruned variant (matches pallas_nn)
@@ -125,7 +127,8 @@ def _cov_pruned_kernel(
     qz = q_ref[0, 2, :][:, None]
 
     def body(k, acc):
-        j = cand_ref[row, k]
+        # low bits of the packed gap+index word (pallas_nn.candidate_chunks)
+        j = cand_ref[row, k] & ((1 << pallas_nn_idx_bits) - 1)
         off = pl.multiple_of(j * _BT_S, _BT_S)
         tx = t_ref[0, 0, pl.ds(off, _BT_S)][None, :]
         ty = t_ref[0, 1, pl.ds(off, _BT_S)][None, :]
@@ -174,7 +177,7 @@ def _pruned_moments_batched(
     qlo, qhi = jax.vmap(lambda p, m: morton.chunk_aabbs(p, m, _BQ))(
         queries, query_mask
     )
-    cand, counts, _gaps = jax.vmap(
+    cand, counts = jax.vmap(
         lambda a, b, c, d: pallas_nn.candidate_chunks(a, b, c, d, radius)
     )(qlo, qhi, chunk_lo, chunk_hi)
     n_c = cand.shape[-1]

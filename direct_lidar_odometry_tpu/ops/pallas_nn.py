@@ -125,53 +125,70 @@ def query_1nn(
     return jnp.where(found, best_idx, -1), best_d2, found
 
 
+# Packed candidate word: low 10 bits = chunk index (C <= 1024), upper 21
+# bits = the tile-chunk AABB squared gap, floor-quantized to radius^2 /
+# _GAP_SCALE units. Floor keeps the branch-and-bound break conservative
+# (quantized gap <= true gap, so "q-gap > bound" implies "gap > bound").
+_IDX_BITS = 10
+_GAP_SCALE = (1 << 21) - 1
+
+
 def candidate_chunks(
     qlo: jnp.ndarray, qhi: jnp.ndarray,
     chunk_lo: jnp.ndarray, chunk_hi: jnp.ndarray,
     radius: float,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-query-tile candidate target-chunk lists (the kd-tree analog).
 
     qlo/qhi [3, Qc], chunk_lo/chunk_hi [3, C] (masked AABBs from
-    ops.morton.chunk_aabbs). Returns (cand [Qc, C] int32 — candidate chunk
-    indices packed to the front of each row sorted by ascending AABB-AABB
-    gap — counts [Qc] int32, and gaps [Qc, C] f32, the sorted squared gaps
-    themselves, +inf past ``counts``). A chunk is a candidate iff the gap
-    <= radius^2; conservative, so any target within ``radius`` of any query
-    in the tile lies in a candidate chunk. The ascending-gap order makes a
-    branch-and-bound early exit exact: once a chunk's tile-level gap
-    exceeds every query's current best, no later chunk can improve any
-    query (kd-tree ``searchLevel`` analog, nanoflann_impl.hpp:1355-1418).
-    Empty chunks/tiles carry +-inf bounds and are never candidates.
+    ops.morton.chunk_aabbs). Returns (cand [Qc, C] int32 — PACKED
+    gap+index words (see _IDX_BITS) sorted ascending, candidates first —
+    and counts [Qc] int32). A chunk is a candidate iff the AABB-AABB
+    squared gap <= radius^2; conservative, so any target within ``radius``
+    of any query in the tile lies in a candidate chunk. The ascending-gap
+    order makes a branch-and-bound early exit exact: once a chunk's
+    tile-level gap exceeds every query's current best, no later chunk can
+    improve any query (kd-tree ``searchLevel`` analog,
+    nanoflann_impl.hpp:1355-1418). Packing the gap into the index word
+    keeps SMEM at one table — a separate f32 gap table overflows the 1 MB
+    SMEM budget in batched mode. Empty chunks/tiles carry +-inf bounds
+    and are never candidates.
     """
+    c = chunk_lo.shape[1]
+    assert c <= (1 << _IDX_BITS), (c, "chunk count exceeds packed index bits")
     g1 = chunk_lo.T[None, :, :] - qhi.T[:, None, :]   # [Qc, C, 3]
     g2 = qlo.T[:, None, :] - chunk_hi.T[None, :, :]
     g = jnp.maximum(jnp.maximum(g1, g2), 0.0)
     gap2 = jnp.sum(g * g, axis=-1)                    # [Qc, C]
-    visit = gap2 <= jnp.float32(radius * radius)
-    c = visit.shape[1]
-    # pack candidates first, ordered by ascending gap (non-candidates +inf)
-    key = jnp.where(visit, gap2, jnp.inf)
+    r2 = jnp.float32(radius * radius)
+    visit = gap2 <= r2
+    gq = jnp.clip(
+        jnp.floor(gap2 * (_GAP_SCALE / float(radius * radius))), 0, _GAP_SCALE
+    ).astype(jnp.int32)
     idx = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), visit.shape)
-    gaps, cand = jax.lax.sort_key_val(key, idx, dimension=1)
+    packed = (gq << _IDX_BITS) | idx
+    # non-candidates sort last (max key), never reached (k < counts)
+    packed = jnp.where(visit, packed, jnp.int32(0x7FFFFFFF))
+    cand = jax.lax.sort(packed, dimension=1)
     counts = jnp.sum(visit, axis=1).astype(jnp.int32)
-    return cand, counts, gaps
+    return cand, counts
 
 
 def _nn1_pruned_kernel(
-    cnt_ref, cand_ref, gap_ref, q_ref, t_ref, tbias_ref, d2_ref, idx_ref,
+    cnt_ref, cand_ref, q_ref, t_ref, tbias_ref, d2_ref, idx_ref,
     *, qc: int, radius2: float,
 ):
     """One (batch b, query tile i) grid step vs its candidate chunks only.
 
     cnt_ref: [B*Qc] SMEM candidate counts; cand_ref: [B*Qc, C] SMEM
-    candidate chunk indices (first cnt valid per row, ascending AABB gap);
-    gap_ref: [B*Qc, C] SMEM sorted squared gaps; q_ref [1, 3, BQ];
-    t_ref [1, 3, T]; tbias_ref [1, 1, T]; outputs [1, 1, BQ]. Non-candidate
-    chunks cost nothing, not even a branch, and the loop stops early at the
-    first chunk whose tile-level gap exceeds every query's current best
-    (exact: gaps ascend and per-query gaps dominate the tile gap). Bests
-    start at radius^2 — beyond that a miss is a miss. This is the kd-tree's
+    packed gap+index candidate words (first cnt valid per row, ascending
+    AABB gap — see candidate_chunks); q_ref [1, 3, BQ]; t_ref [1, 3, T];
+    tbias_ref [1, 1, T]; outputs [1, 1, BQ]. Non-candidate chunks cost
+    nothing, not even a branch, and the loop stops early at the first
+    chunk whose tile-level gap exceeds every query's current best (exact:
+    gaps ascend, per-query gaps dominate the tile gap, and the packed gap
+    is floor-quantized so the comparison stays conservative). Bests start
+    at radius^2 — beyond that a miss is a miss. This is the kd-tree's
     branch-and-bound (``searchLevel``), at tile granularity.
     """
     b = pl.program_id(0)
@@ -181,14 +198,21 @@ def _nn1_pruned_kernel(
     qy = q_ref[0, 1, :][:, None]
     qz = q_ref[0, 2, :][:, None]
     cnt = cnt_ref[row]
+    gap_unit = jnp.float32(radius2 / _GAP_SCALE)
+
+    n_c = cand_ref.shape[1]
 
     def cond(carry):
         best_d2, _, k, bound = carry
-        return (k < cnt) & (gap_ref[row, k] <= bound)
+        # & does not short-circuit: clamp the read for the k == cnt probe
+        gapq = (cand_ref[row, jnp.minimum(k, n_c - 1)] >> _IDX_BITS).astype(
+            jnp.float32
+        )
+        return (k < cnt) & (gapq * gap_unit <= bound)
 
     def body(carry):
         best_d2, best_idx, k, _ = carry
-        j = cand_ref[row, k]
+        j = cand_ref[row, k] & ((1 << _IDX_BITS) - 1)
         off = pl.multiple_of(j * _BT_S, _BT_S)
         tx = t_ref[0, 0, pl.ds(off, _BT_S)][None, :]
         ty = t_ref[0, 1, pl.ds(off, _BT_S)][None, :]
@@ -232,9 +256,9 @@ def _pruned_1nn_batched(
     qlo, qhi = jax.vmap(lambda p, m: morton.chunk_aabbs(p, m, _BQ))(
         queries, query_mask
     )  # [B, 3, Qc]
-    cand, counts, gaps = jax.vmap(
+    cand, counts = jax.vmap(
         lambda a, b, c, d: candidate_chunks(a, b, c, d, radius)
-    )(qlo, qhi, chunk_lo, chunk_hi)  # [B, Qc, C], [B, Qc], [B, Qc, C]
+    )(qlo, qhi, chunk_lo, chunk_hi)  # [B, Qc, C], [B, Qc]
     n_c = cand.shape[-1]
 
     tq = jnp.swapaxes(queries, 1, 2).astype(jnp.float32)        # [B, 3, Q]
@@ -246,8 +270,7 @@ def _pruned_1nn_batched(
         grid=(b_total, qc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts [B*Qc]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # cand [B*Qc, C]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # gaps [B*Qc, C]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cand [B*Qc, C] packed
             pl.BlockSpec((1, 3, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 3, t_total), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
@@ -268,7 +291,6 @@ def _pruned_1nn_batched(
     )(
         counts.reshape(b_total * qc),
         cand.reshape(b_total * qc, n_c),
-        gaps.reshape(b_total * qc, n_c),
         tq, tt, tbias,
     )
 

@@ -109,7 +109,7 @@ def main() -> None:
     # candidate stats: how many chunks does the average query tile visit?
     from direct_lidar_odometry_tpu.ops.pallas_nn import candidate_chunks
     qlo, qhi = morton.chunk_aabbs(scan.points, scan.mask, 256)
-    _, counts, _ = candidate_chunks(qlo, qhi, tgt.chunk_lo, tgt.chunk_hi, r)
+    _, counts = candidate_chunks(qlo, qhi, tgt.chunk_lo, tgt.chunk_hi, r)
     print(f"# candidate chunks/tile: mean {float(jnp.mean(counts)):.1f} "
           f"max {int(jnp.max(counts))} of {tgt.points.shape[0]//512}", file=sys.stderr)
 
