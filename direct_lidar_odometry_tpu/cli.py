@@ -158,6 +158,18 @@ def main(argv=None) -> int:
             }
             print(profiling.dashboard(i, pos, quat, distance, timing,
                                       int(res.num_keyframes), health))
+        if res is not None and i % args.dashboard_every == 0:
+            status = runner.health_check(res)
+            if status != "ok":
+                print(
+                    f"[health] frame {i}: {status} "
+                    f"(s2s_corr={int(res.s2s_num_corr)} "
+                    f"s2m_corr={int(res.s2m_num_corr)} "
+                    f"s2s_converged={bool(res.s2s_converged)})"
+                    + (" — restart from --checkpoint to recover"
+                       if status == "diverged" else ""),
+                    file=sys.stderr,
+                )
 
     # --- outputs ----------------------------------------------------------
     est = runner.trajectory()

@@ -184,6 +184,36 @@ class OdometryRunner:
             self.stats.append(FrameStats(stamps[i], wall, None))
         return res
 
+    # -- health -----------------------------------------------------------
+    def health_check(self, result: FrameResult, min_corr_frac: float = 0.05):
+        """Classify a frame from its health metrics (SURVEY §5 gap: the
+        reference only prints "lm not converged!!" and carries on,
+        lsq_registration_impl.hpp:105-108).
+
+        Returns one of:
+          "ok"        — normal frame
+          "degraded"  — solver failed to converge or correspondence count
+                        below ``min_corr_frac`` of the scan capacity
+                        (tracking at risk; consider checkpointing)
+          "diverged"  — non-finite pose or zero S2M correspondences (the
+                        pipeline already fell back to the S2S-propagated
+                        pose; restart from a checkpoint to recover)
+
+        This is a host-side read of already-materialized scalars; calling
+        it synchronizes the frame.
+        """
+        pose = np.asarray(result.pose)
+        if not np.all(np.isfinite(pose)) or int(result.s2m_num_corr) == 0:
+            return "diverged"
+        n_cap = self.cfg.shapes.n_scan
+        weak = (
+            int(result.s2s_num_corr) < min_corr_frac * n_cap
+            or int(result.s2m_num_corr) < min_corr_frac * n_cap
+        )
+        if bool(result.s2s_converged) is False or weak:
+            return "degraded"
+        return "ok"
+
     # -- outputs ----------------------------------------------------------
     def trajectory(self) -> np.ndarray:
         if not self.poses:

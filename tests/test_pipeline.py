@@ -151,6 +151,29 @@ def test_chunked_stepping_matches_single(world):
     assert single.num_keyframes() == chunked.num_keyframes()
 
 
+def test_health_check_classification(world):
+    """health_check: ok on a normal frame; degraded/diverged on doctored
+    metrics (SURVEY §5: the reference has no failure detection at all)."""
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(5)
+    r = OdometryRunner(cfg)
+    res = None
+    for t in range(4):
+        s = synthetic.render_scan(world, t, rng, max_range=SCAN_RANGE,
+                                  max_points=8192)
+        out = r.process_scan(s, world.stamps[t], sync=True)
+        res = out if out is not None else res
+    assert r.health_check(res) == "ok"
+    weak = res._replace(s2m_num_corr=jnp.int32(1))
+    assert r.health_check(weak) == "degraded"
+    lost = res._replace(s2m_num_corr=jnp.int32(0))
+    assert r.health_check(lost) == "diverged"
+    nan = res._replace(pose=res.pose.at[0, 3].set(jnp.nan))
+    assert r.health_check(nan) == "diverged"
+
+
 def test_checkpoint_roundtrip(world, tmp_path):
     """State is a pytree of arrays -> trivially checkpointable (SURVEY §5 gap)."""
     import jax
