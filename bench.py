@@ -217,12 +217,14 @@ def main() -> None:
     n_steady = len(scans) - start
     ms_wall = wall / max(n_steady, 1) * 1e3
     if len(chunk_times) >= 3:
-        # min, not median: the host is idle but the tunneled TPU shows
-        # multi-x transient stalls from external contention (identical
-        # code: 29.6 vs 118 ms/frame chunks minutes apart). The fastest
-        # chunk is the chip's actual capability; sustained-contention
-        # numbers measure the neighbor, not this framework.
-        ms = float(np.min(chunk_times)) / chunk * 1e3
+        # MEDIAN chunk time is the headline estimator (robust to the
+        # tunneled TPU's transient multi-x stalls from external contention
+        # — identical code measured 29.6 vs 118 ms/frame chunks minutes
+        # apart — without being flattered by a single lucky interval the
+        # way min-of-chunks is). Best-chunk is reported alongside as the
+        # contention-free chip-capability estimate.
+        ms = float(np.median(chunk_times)) / chunk * 1e3
+        ms_best = float(np.min(chunk_times)) / chunk * 1e3
         print(
             f"# chunk times (ms/frame): "
             + " ".join(f"{c/chunk*1e3:.1f}" for c in chunk_times),
@@ -230,6 +232,7 @@ def main() -> None:
         )
     else:
         ms = ms_wall
+        ms_best = ms_wall
     fps = 1000.0 / ms
 
     # synced single-frame latency for the dashboard line
@@ -243,8 +246,8 @@ def main() -> None:
     gt = np.linalg.inv(world.poses[0])[None] @ world.poses[: len(est)]
     ate = evaluation.ate(est, gt, align=False)
     print(
-        f"# steady-state: {ms:.2f} ms/frame best-chunk ({ms_wall:.2f} wall-avg, "
-        f"{n_steady} frames), {lat_ms:.2f} ms synced latency, "
+        f"# steady-state: {ms:.2f} ms/frame median-chunk ({ms_best:.2f} best-chunk, "
+        f"{ms_wall:.2f} wall-avg, {n_steady} frames), {lat_ms:.2f} ms synced latency, "
         f"{runner.num_keyframes()} keyframes, ATE {ate.rmse*100:.2f} cm",
         file=sys.stderr,
     )
@@ -262,6 +265,9 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / DLO_CPU_FPS, 3),
+                "best_chunk_fps": round(1000.0 / ms_best, 2),
+                "wall_avg_fps": round(1000.0 / ms_wall, 2),
+                "ate_rmse_m": round(float(ate.rmse), 4),
             }
         )
     )

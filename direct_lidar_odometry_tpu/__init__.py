@@ -14,7 +14,36 @@ ops, the ROS graph becomes in-process functional composition, and the
 (nonexistent in the reference) distributed layer is JAX shard_map.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+import os as _os
+
+
+def _enable_persistent_compilation_cache() -> None:
+    """Persistent XLA compilation cache (addresses the 67-108 s first-frame
+    compiles measured in BENCH_r01: the pipeline graph is large but identical
+    across runs, so the second process start should pay <5 s warmup).
+
+    Opt out with DLO_TPU_NO_CACHE=1; relocate with DLO_TPU_CACHE_DIR.
+    """
+    if _os.environ.get("DLO_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "DLO_TPU_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "dlo_tpu_xla"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything that took meaningful compile time, however small
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
+_enable_persistent_compilation_cache()
 
 from direct_lidar_odometry_tpu.config import DloConfig, load_config
 

@@ -146,19 +146,17 @@ def main(argv=None) -> int:
             break
         res = runner.process_scan(scan, stamp)
         timing.push(runner.stats[-1].wall_ms if runner.stats else 0.0)
-        pos = np.asarray(runner.state.pose)[:3, 3]
-        if last_pos is not None:
-            distance += float(np.linalg.norm(pos - last_pos))
-        last_pos = pos
-        if not args.quiet and res is not None and i % args.dashboard_every == 0:
-            quat = np.asarray(res.quat)
-            health = {
-                "s2s_it": int(res.s2s_iterations), "s2s_nc": int(res.s2s_num_corr),
-                "s2m_it": int(res.s2m_iterations), "s2m_nc": int(res.s2m_num_corr),
-            }
-            print(profiling.dashboard(i, pos, quat, distance, timing,
-                                      int(res.num_keyframes), health))
-        if res is not None and i % args.dashboard_every == 0:
+        if not args.quiet:
+            # distance tracking reads the pose (device sync); quiet runs
+            # compute it once from the trajectory at the end instead
+            pos = np.asarray(runner.state.pose)[:3, 3]
+            if last_pos is not None:
+                distance += float(np.linalg.norm(pos - last_pos))
+            last_pos = pos
+        if not args.quiet and res is not None:
+            # health runs EVERY frame (a divergence inside the dashboard
+            # window must not be missed); --quiet skips both so quiet runs
+            # stay fully async — these reads force a device sync
             status = runner.health_check(res)
             if status != "ok":
                 print(
@@ -170,9 +168,19 @@ def main(argv=None) -> int:
                        if status == "diverged" else ""),
                     file=sys.stderr,
                 )
+            if i % args.dashboard_every == 0:
+                quat = np.asarray(res.quat)
+                health = {
+                    "s2s_it": int(res.s2s_iterations), "s2s_nc": int(res.s2s_num_corr),
+                    "s2m_it": int(res.s2m_iterations), "s2m_nc": int(res.s2m_num_corr),
+                }
+                print(profiling.dashboard(i, pos, quat, distance, timing,
+                                          int(res.num_keyframes), health))
 
     # --- outputs ----------------------------------------------------------
     est = runner.trajectory()
+    if args.quiet and len(est) > 1:
+        distance = float(np.sum(np.linalg.norm(np.diff(est[:, :3, 3], axis=0), axis=-1)))
     trajectory.write_kitti(os.path.join(args.out_dir, args.traj_kitti), est)
     trajectory.write_tum(
         os.path.join(args.out_dir, args.traj_tum),

@@ -25,11 +25,29 @@ def read_kitti(path: str) -> np.ndarray:
     return out
 
 
-def write_tum(path: str, stamps: np.ndarray, poses: np.ndarray) -> None:
-    """TUM format: stamp tx ty tz qx qy qz qw."""
+def continuous_quats(rotations: np.ndarray) -> np.ndarray:
+    """Quaternions (xyzw) for a rotation sequence with sign continuity.
+
+    q and -q encode the same rotation; matrix->quaternion conversion picks
+    an arbitrary hemisphere per frame, so a smooth trajectory can emit sign
+    jumps that break downstream interpolation/plotting. The reference flips
+    the current quaternion when its dot with the previous one is negative
+    (``odom.cc:334-346``); same rule here, applied over the whole sequence
+    with a cumulative sign so each frame is continuous with its predecessor.
+    """
     from scipy.spatial.transform import Rotation
 
-    q = Rotation.from_matrix(poses[:, :3, :3]).as_quat()  # xyzw
+    q = Rotation.from_matrix(rotations).as_quat()  # [T, 4] xyzw
+    if len(q) > 1:
+        dots = np.sum(q[1:] * q[:-1], axis=-1)
+        signs = np.cumprod(np.where(dots < 0.0, -1.0, 1.0))
+        q[1:] *= signs[:, None]
+    return q
+
+
+def write_tum(path: str, stamps: np.ndarray, poses: np.ndarray) -> None:
+    """TUM format: stamp tx ty tz qx qy qz qw (sign-continuous quaternions)."""
+    q = continuous_quats(poses[:, :3, :3])
     with open(path, "w") as f:
         for t, T, qi in zip(stamps, poses, q):
             tx, ty, tz = T[:3, 3]

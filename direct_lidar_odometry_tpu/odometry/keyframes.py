@@ -104,21 +104,49 @@ def make_keyframe_cloud(
     return c, nrm
 
 
+def _eviction_slot(kf: KeyframeStore, position: jnp.ndarray) -> jnp.ndarray:
+    """Pick the slot to overwrite when the ring is full: find the densest
+    keyframe pair (smallest pairwise distance) and evict the member of that
+    pair farther from the incoming position.
+
+    Rationale: the reference grows ``keyframes`` forever (``odom.cc:1166``),
+    which static shapes cannot. Evicting the most REDUNDANT keyframe (one of
+    the two closest together) keeps both local context and global map
+    coverage; evicting by raw farthest-distance would eat the trajectory's
+    start and break loop-closure/hull context on return visits.
+    """
+    k = kf.capacity
+    d2 = jnp.sum(
+        (kf.positions[:, None, :] - kf.positions[None, :, :]) ** 2, axis=-1
+    )
+    d2 = d2 + jnp.where(jnp.eye(k, dtype=bool), jnp.inf, 0.0)
+    flat = jnp.argmin(d2)
+    i, j = flat // k, flat % k
+    di = jnp.sum((kf.positions[i] - position) ** 2)
+    dj = jnp.sum((kf.positions[j] - position) ** 2)
+    return jnp.where(di > dj, i, j).astype(jnp.int32)
+
+
 def insert(
     kf: KeyframeStore,
     position: jnp.ndarray,
     quat: jnp.ndarray,
     cloud: PointCloud,
     normals: covariance.Normals,
-) -> KeyframeStore:
-    """Append at ``count`` (saturating at capacity — new frames dropped when
-    full; the reference grows unboundedly, see KeyframeStore docstring)."""
+) -> tuple[KeyframeStore, jnp.ndarray]:
+    """Append at ``count``; at capacity, evict the most redundant keyframe
+    (see :func:`_eviction_slot`) instead of silently dropping the new one.
+
+    Returns (store, evicted: bool). The caller must invalidate any cached
+    submap when ``evicted`` is true — slot contents changed under a
+    possibly-identical membership mask (see pipeline.odom_frame).
+    """
     full = kf.count >= kf.capacity
-    idx = jnp.minimum(kf.count, kf.capacity - 1)
+    idx = jnp.where(full, _eviction_slot(kf, position), kf.count)
+    idx = jnp.clip(idx, 0, kf.capacity - 1)
 
     def write(arr, val):
-        new = arr.at[idx].set(val)
-        return jnp.where(full, arr, new)
+        return arr.at[idx].set(val)
 
     return KeyframeStore(
         positions=write(kf.positions, position),
@@ -128,7 +156,7 @@ def insert(
         normals=write(kf.normals, normals.normals),
         normals_valid=write(kf.normals_valid, normals.valid),
         count=jnp.where(full, kf.count, kf.count + 1),
-    )
+    ), full
 
 
 def maybe_spawn(
@@ -138,8 +166,8 @@ def maybe_spawn(
     cfg: DloConfig,
     thresh_dist: jnp.ndarray,
     backend: str = "hashgrid",
-) -> tuple[KeyframeStore, jnp.ndarray]:
-    """Full updateKeyframes step. Returns (store, spawned)."""
+) -> tuple[KeyframeStore, jnp.ndarray, jnp.ndarray]:
+    """Full updateKeyframes step. Returns (store, spawned, evicted)."""
     position = se3.se3_translation(pose)
     quat = se3.rotmat_to_quat(se3.se3_rotation(pose))
     dec = decide(kf, position, quat, thresh_dist, cfg.keyframe.thresh_rot)
@@ -149,7 +177,7 @@ def maybe_spawn(
         return insert(kf, position, quat, cloud, nrm)
 
     def keep(_):
-        return kf
+        return kf, jnp.asarray(False)
 
-    new_kf = jax.lax.cond(dec.spawn, spawn, keep, None)
-    return new_kf, dec.spawn
+    new_kf, evicted = jax.lax.cond(dec.spawn, spawn, keep, None)
+    return new_kf, dec.spawn, evicted

@@ -113,7 +113,7 @@ def init_frame(
     cloud_kf, nrm_kf = keyframes.make_keyframe_cloud(scan, state.pose, cfg, backend)
     position = se3.se3_translation(state.pose)
     quat = se3.rotmat_to_quat(se3.se3_rotation(state.pose))
-    kf = keyframes.insert(state.keyframes, position, quat, cloud_kf, nrm_kf)
+    kf, _ = keyframes.insert(state.keyframes, position, quat, cloud_kf, nrm_kf)
     return state._replace(
         prev_points=scan.points,
         prev_mask=scan.mask,
@@ -207,13 +207,18 @@ def odom_frame(
                      t_s2s_global)
 
     # --- keyframing (odom.cc:678, 1097-1181) ---
-    kf, spawned = keyframes.maybe_spawn(
+    kf, spawned, kf_evicted = keyframes.maybe_spawn(
         state.keyframes, scan, pose, cfg, thresh_dist, backend
     )
+    # eviction rewrites a slot under a possibly-unchanged membership mask;
+    # clearing the cached members forces a submap rebuild next frame so the
+    # cached cloud can never keep evicted points
+    submap_members = jnp.where(kf_evicted, False, state.submap_members)
 
     position = se3.se3_translation(pose)
     quat = se3.rotmat_to_quat(se3.se3_rotation(pose))
     new_state = state._replace(
+        submap_members=submap_members,
         pose=pose,
         t_s2s=pose,  # T_s2s_prev <- T (odom.cc:843)
         last_delta=se3.se3_inverse(state.pose) @ pose,
@@ -230,6 +235,7 @@ def odom_frame(
         position=position,
         quat=quat,
         new_keyframe=spawned,
+        kf_evicted=kf_evicted,
         num_keyframes=kf.count,
         submap_changed=sel.changed,
         spaciousness=spac,

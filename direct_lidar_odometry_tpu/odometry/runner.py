@@ -199,18 +199,22 @@ class OdometryRunner:
                         pipeline already fell back to the S2S-propagated
                         pose; restart from a checkpoint to recover)
 
-        This is a host-side read of already-materialized scalars; calling
-        it synchronizes the frame.
+        Accepts either a per-frame result or the stacked [K, ...] result
+        from :meth:`process_chunk` — a stacked result is classified by its
+        WORST frame. Calling this synchronizes the frame(s).
         """
         pose = np.asarray(result.pose)
-        if not np.all(np.isfinite(pose)) or int(result.s2m_num_corr) == 0:
+        s2m_nc = np.atleast_1d(np.asarray(result.s2m_num_corr))
+        s2s_nc = np.atleast_1d(np.asarray(result.s2s_num_corr))
+        s2s_conv = np.atleast_1d(np.asarray(result.s2s_converged))
+        if not np.all(np.isfinite(pose)) or int(s2m_nc.min()) == 0:
             return "diverged"
         n_cap = self.cfg.shapes.n_scan
         weak = (
-            int(result.s2s_num_corr) < min_corr_frac * n_cap
-            or int(result.s2m_num_corr) < min_corr_frac * n_cap
+            int(s2s_nc.min()) < min_corr_frac * n_cap
+            or int(s2m_nc.min()) < min_corr_frac * n_cap
         )
-        if bool(result.s2s_converged) is False or weak:
+        if not bool(s2s_conv.all()) or weak:
             return "degraded"
         return "ok"
 

@@ -74,6 +74,8 @@ class FrameResult(NamedTuple):
     position: jnp.ndarray        # [3]
     quat: jnp.ndarray            # [4] wxyz
     new_keyframe: jnp.ndarray    # bool
+    kf_evicted: jnp.ndarray      # bool — ring was full, a redundant keyframe
+                                 # was replaced (see keyframes._eviction_slot)
     num_keyframes: jnp.ndarray   # int32
     submap_changed: jnp.ndarray  # bool
     spaciousness: jnp.ndarray    # f32

@@ -175,7 +175,7 @@ def candidate_chunks(
 
 
 def _nn1_pruned_kernel(
-    cnt_ref, cand_ref, q_ref, t_ref, tbias_ref, d2_ref, idx_ref,
+    cnt_ref, cand_ref, q_ref, t_ref, tbias_ref, qinit_ref, d2_ref, idx_ref,
     *, qc: int, radius2: float,
 ):
     """One (batch b, query tile i) grid step vs its candidate chunks only.
@@ -183,13 +183,16 @@ def _nn1_pruned_kernel(
     cnt_ref: [B*Qc] SMEM candidate counts; cand_ref: [B*Qc, C] SMEM
     packed gap+index candidate words (first cnt valid per row, ascending
     AABB gap — see candidate_chunks); q_ref [1, 3, BQ]; t_ref [1, 3, T];
-    tbias_ref [1, 1, T]; outputs [1, 1, BQ]. Non-candidate chunks cost
-    nothing, not even a branch, and the loop stops early at the first
-    chunk whose tile-level gap exceeds every query's current best (exact:
-    gaps ascend, per-query gaps dominate the tile gap, and the packed gap
-    is floor-quantized so the comparison stays conservative). Bests start
-    at radius^2 — beyond that a miss is a miss. This is the kd-tree's
-    branch-and-bound (``searchLevel``), at tile granularity.
+    tbias_ref [1, 1, T]; qinit_ref [1, 1, BQ] per-query initial best
+    (radius^2 for valid queries, 0 for padded/invalid ones so they never
+    dominate the early-exit bound); outputs [1, 1, BQ]. Non-candidate
+    chunks cost nothing, not even a branch, and the loop stops early at
+    the first chunk whose tile-level gap exceeds every query's current
+    best (exact: gaps ascend, per-query gaps dominate the tile gap, and
+    the packed gap is floor-quantized so the comparison stays
+    conservative). Bests start at radius^2 — beyond that a miss is a
+    miss. This is the kd-tree's branch-and-bound (``searchLevel``), at
+    tile granularity.
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -229,11 +232,12 @@ def _nn1_pruned_kernel(
         best_idx = jnp.where(better, off + arg.astype(jnp.int32), best_idx)
         return (best_d2, best_idx, k + 1, jnp.max(best_d2))
 
+    best0 = qinit_ref[0, 0, :]  # [BQ]
     init = (
-        jnp.full((_BQ,), jnp.float32(radius2), jnp.float32),
+        best0,
         jnp.full((_BQ,), -1, jnp.int32),
         jnp.int32(0),
-        jnp.float32(radius2),
+        jnp.max(best0),
     )
     best_d2, best_idx, _, _ = jax.lax.while_loop(cond, body, init)
     d2_ref[0, 0, :] = best_d2
@@ -264,9 +268,11 @@ def _pruned_1nn_batched(
     tq = jnp.swapaxes(queries, 1, 2).astype(jnp.float32)        # [B, 3, Q]
     tt = jnp.swapaxes(target_points, 1, 2).astype(jnp.float32)  # [B, 3, T]
     tbias = jnp.where(target_mask, 0.0, jnp.inf).astype(jnp.float32)[:, None, :]
+    r2 = float(radius) ** 2
+    qinit = jnp.where(query_mask, jnp.float32(r2), 0.0)[:, None, :]
 
     d2, idx = pl.pallas_call(
-        partial(_nn1_pruned_kernel, qc=qc, radius2=float(radius) ** 2),
+        partial(_nn1_pruned_kernel, qc=qc, radius2=r2),
         grid=(b_total, qc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts [B*Qc]
@@ -278,6 +284,7 @@ def _pruned_1nn_batched(
             pl.BlockSpec(
                 (1, 1, t_total), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec((1, 1, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
@@ -291,7 +298,7 @@ def _pruned_1nn_batched(
     )(
         counts.reshape(b_total * qc),
         cand.reshape(b_total * qc, n_c),
-        tq, tt, tbias,
+        tq, tt, tbias, qinit,
     )
 
     best_d2 = d2[:, 0, :]

@@ -64,3 +64,31 @@ def test_ply_roundtrip(tmp_path, rng):
     ply.write_ply(str(p), pts)
     out = ply.read_ply(str(p))
     np.testing.assert_array_equal(out, pts)
+
+
+def test_quat_sign_continuity_full_yaw():
+    """360-degree yaw sweep: emitted quaternions must have no sign jumps
+    (reference publishPose continuity check, odom.cc:334-346)."""
+    from scipy.spatial.transform import Rotation
+
+    angles = np.linspace(0.0, 2 * np.pi, 73)  # crosses the q/-q hemisphere
+    rots = Rotation.from_euler("z", angles[:, None]).as_matrix()
+    q = trajectory.continuous_quats(rots)
+    dots = np.sum(q[1:] * q[:-1], axis=-1)
+    assert np.all(dots >= 0.0), f"sign jump: min dot {dots.min()}"
+    # each quat still encodes the same rotation
+    back = Rotation.from_quat(q).as_matrix()
+    assert np.allclose(back, rots, atol=1e-6)
+
+
+def test_tum_writer_continuous(tmp_path):
+    from scipy.spatial.transform import Rotation
+
+    angles = np.linspace(0.0, 2 * np.pi, 37)
+    poses = np.tile(np.eye(4), (len(angles), 1, 1))
+    poses[:, :3, :3] = Rotation.from_euler("z", angles[:, None]).as_matrix()
+    p = tmp_path / "t.txt"
+    trajectory.write_tum(str(p), np.arange(len(angles), dtype=float), poses)
+    rows = np.loadtxt(p)
+    q = rows[:, 4:8]
+    assert np.all(np.sum(q[1:] * q[:-1], axis=-1) >= 0.0)

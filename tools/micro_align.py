@@ -107,8 +107,8 @@ def main() -> None:
     print(f"# s2s iters={int(res.iterations)}", file=sys.stderr)
 
     # candidate stats: how many chunks does the average query tile visit?
-    from direct_lidar_odometry_tpu.ops.pallas_nn import candidate_chunks
-    qlo, qhi = morton.chunk_aabbs(scan.points, scan.mask, 256)
+    from direct_lidar_odometry_tpu.ops.pallas_nn import _BQ, candidate_chunks
+    qlo, qhi = morton.chunk_aabbs(scan.points, scan.mask, _BQ)
     _, counts = candidate_chunks(qlo, qhi, tgt.chunk_lo, tgt.chunk_hi, r)
     print(f"# candidate chunks/tile: mean {float(jnp.mean(counts)):.1f} "
           f"max {int(jnp.max(counts))} of {tgt.points.shape[0]//512}", file=sys.stderr)
