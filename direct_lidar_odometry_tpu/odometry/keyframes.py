@@ -20,7 +20,7 @@ from direct_lidar_odometry_tpu.config import DloConfig
 from direct_lidar_odometry_tpu.core import se3
 from direct_lidar_odometry_tpu.core.cloud import PAD_VALUE, PointCloud
 from direct_lidar_odometry_tpu.ops import morton, voxel
-from direct_lidar_odometry_tpu.registration import covariance
+from direct_lidar_odometry_tpu.registration import covariance, gicp
 from direct_lidar_odometry_tpu.odometry.state import KeyframeStore
 
 
@@ -77,7 +77,7 @@ def make_keyframe_cloud(
     # instance (odom.cc:1172-1174), so k here is s2s.k_correspondences (10),
     # not s2m's 20 — s2m's own k is effectively unused upstream because its
     # covariances are always injected externally.
-    if backend == "pallas":
+    if gicp.is_pallas(backend):
         res = (cfg.preprocessing.voxel_submap.res
                if cfg.preprocessing.voxel_submap.use else 0.5)
         # Z-order the keyframe cloud: the pruned moment kernel needs it,

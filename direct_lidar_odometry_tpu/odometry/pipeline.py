@@ -59,7 +59,7 @@ def preprocess_scan(
         # no voxel: compact valid points to the front and truncate to capacity
         order = jnp.argsort(~c.mask, stable=True)[: cfg.shapes.n_scan]
         c = PointCloud(points=c.points[order], mask=c.mask[order])
-    if backend == "pallas":
+    if gicp.is_pallas(backend):
         # Morton-sort once per scan: the pruned Pallas kernels skip whole
         # [query-tile x target-chunk] blocks, and rigid transforms preserve
         # the locality, so this one sort serves every GICP iteration AND
@@ -70,7 +70,7 @@ def preprocess_scan(
 
 
 def _scan_normals(scan: PointCloud, cfg: DloConfig, backend: str) -> covariance.Normals:
-    if backend == "pallas":
+    if gicp.is_pallas(backend):
         res = cfg.preprocessing.voxel_scan.res if cfg.preprocessing.voxel_scan.use else 0.25
         clo, chi = morton.chunk_aabbs(scan.points, scan.mask, 512)
         return covariance.estimate_normals_radius_sorted(
@@ -187,7 +187,7 @@ def odom_frame(
     state = submap.assemble_submap(state, sel, query_pos, cfg, backend)
 
     # --- S2M: scan against submap, S2S-propagated guess (odom.cc:837-847) ---
-    if backend == "pallas":
+    if gicp.is_pallas(backend):
         # submap is Z-ordered at assembly; AABBs are cheap enough per frame
         sm_lo, sm_hi = morton.chunk_aabbs(state.submap_points, state.submap_mask, 512)
     else:

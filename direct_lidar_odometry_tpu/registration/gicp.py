@@ -35,9 +35,16 @@ import jax.numpy as jnp
 
 from direct_lidar_odometry_tpu.config import GicpStageConfig
 from direct_lidar_odometry_tpu.core import se3
-from direct_lidar_odometry_tpu.ops import bruteforce, hashgrid, morton, pallas_nn
-from direct_lidar_odometry_tpu.registration.covariance import cov_from_normal
+from direct_lidar_odometry_tpu.ops import bruteforce, hashgrid, morton, pallas_gicp, pallas_nn
+from direct_lidar_odometry_tpu.registration.covariance import PLANE_EPS, cov_from_normal
 from direct_lidar_odometry_tpu.utils.precision import f32_matmuls
+
+
+def is_pallas(backend: str) -> bool:
+    """Both pallas variants: "pallas" (fused linearize kernel,
+    ops/pallas_gicp.py) and "pallas_unfused" (round-1 1-NN kernel + XLA
+    glue, kept for A/B and as a debugging reference)."""
+    return backend.startswith("pallas")
 
 
 class GicpTarget(NamedTuple):
@@ -92,7 +99,7 @@ def make_target(
         else None
     )
     chunk_lo = chunk_hi = None
-    if backend == "pallas":
+    if is_pallas(backend):
         chunk_lo, chunk_hi = morton.chunk_aabbs(points, mask, 512)
     return GicpTarget(
         points=points, mask=mask, normals=normals,
@@ -129,7 +136,9 @@ class _Linearization(NamedTuple):
     error: jnp.ndarray       # scalar
     corr: jnp.ndarray        # [Ns] int32 target index (-1 = none)
     weight: jnp.ndarray      # [Ns] f32 0/1 correspondence mask
-    mahal: jnp.ndarray       # [Ns, 3, 3] Mahalanobis weights (frozen for LM)
+    mu_b: jnp.ndarray        # [Ns, 3] frozen correspondence target points
+    n_b: jnp.ndarray         # [Ns, 3] frozen correspondence target normals
+    m0: jnp.ndarray          # [Ns, 3] source normals rotated by the frozen R
     n_corr: jnp.ndarray      # int32
 
 
@@ -137,10 +146,14 @@ def _update_correspondences(
     x0: jnp.ndarray, src: GicpSource, target: GicpTarget, cfg: GicpStageConfig,
     cap: int, backend: str,
 ):
-    """1-NN + Mahalanobis. Reference nano_gicp_impl.hpp:173-211."""
+    """1-NN + Mahalanobis. Reference nano_gicp_impl.hpp:173-211.
+
+    Serves the non-fused backends; backend "pallas" takes the fused kernel
+    path in :func:`_linearize` and never calls this.
+    """
     r = x0[:3, :3]
     p_t = se3.transform_points(x0, src.points)  # [Ns, 3]
-    if backend == "pallas":
+    if backend == "pallas_unfused":
         idx, _, found = pallas_nn.query_1nn_sorted(
             target.points, target.mask, target.chunk_lo, target.chunk_hi,
             p_t, src.mask, cfg.max_correspondence_distance,
@@ -161,19 +174,41 @@ def _update_correspondences(
     ok = found & src.normals_valid & target.normals_valid[j]
     # C_B + R C_A R^T = 2 I - (1-eps)(nB nB^T + (R nA)(R nA)^T)
     n_a_rot = src.normals @ r.T
-    rcr = cov_from_normal(target.normals[j]) + cov_from_normal(n_a_rot)
+    n_b = target.normals[j]
+    rcr = cov_from_normal(n_b) + cov_from_normal(n_a_rot)
     mahal = _sym_inv3(rcr)
     w = ok.astype(jnp.float32)
     mahal = mahal * w[..., None, None]
     corr = jnp.where(ok, j, -1)
-    return corr, w, mahal, p_t
+    return corr, w, mahal, p_t, n_b, n_a_rot
 
 
 def _linearize(
     x0: jnp.ndarray, src: GicpSource, target: GicpTarget, cfg, cap, backend
 ) -> _Linearization:
-    """Reference nano_gicp_impl.hpp:213-270 as one fused masked reduction."""
-    corr, weight, mahal, p_t = _update_correspondences(
+    """Reference nano_gicp_impl.hpp:213-270 as one fused masked reduction.
+
+    backend "pallas": single fused Pallas pass (ops/pallas_gicp.py) — NN
+    search, Mahalanobis, and H/b accumulation in one VMEM traversal, no
+    [Ns,3,3] HBM intermediates, no gathers. Other backends: 1-NN query +
+    XLA einsum reduction.
+    """
+    if backend == "pallas":
+        r = x0[:3, :3]
+        p_t = se3.transform_points(x0, src.points)
+        m0 = src.normals @ r.T
+        qw = src.mask & src.normals_valid
+        fl = pallas_gicp.fused_linearize(
+            target.points, target.mask, target.normals, target.normals_valid,
+            target.chunk_lo, target.chunk_hi, p_t, m0, qw,
+            cfg.max_correspondence_distance, PLANE_EPS,
+        )
+        return _Linearization(
+            h=fl.h, b=fl.b, error=fl.error, corr=fl.corr, weight=fl.weight,
+            mu_b=fl.mu_b, n_b=fl.n_b, m0=m0, n_corr=fl.n_corr,
+        )
+
+    corr, weight, mahal, p_t, n_b, m0 = _update_correspondences(
         x0, src, target, cfg, cap, backend
     )
     j = jnp.clip(corr, 0, None)
@@ -196,17 +231,45 @@ def _linearize(
     b = jnp.concatenate([b_top, b_bot])
     n_corr = jnp.sum(weight).astype(jnp.int32)
     return _Linearization(h=h, b=b, error=err, corr=corr, weight=weight,
-                          mahal=mahal, n_corr=n_corr)
+                          mu_b=mu_b, n_b=n_b, m0=m0, n_corr=n_corr)
 
 
-def _compute_error(x0, src: GicpSource, tgt_points, lin: _Linearization):
-    """Reference nano_gicp_impl.hpp:272-296 — frozen correspondences."""
+def _compute_error(x0, src: GicpSource, lin: _Linearization):
+    """Reference nano_gicp_impl.hpp:272-296 — frozen correspondences.
+
+    Mahalanobis matrices are recomputed columnwise from the frozen normals
+    (n_b, m0) instead of being stored: ~15 [Ns]-wide vectors instead of an
+    [Ns, 3, 3] array — fully fusable by XLA, one pass over 2 MB instead of
+    several over 12 MB. Identical math: M = w * (2I - (1-eps)(n_b n_b^T +
+    m0 m0^T))^{-1}, frozen at the linearization's rotation.
+    """
     p_t = se3.transform_points(x0, src.points)
-    j = jnp.clip(lin.corr, 0, None)
-    e = (tgt_points[j] - p_t) * lin.weight[..., None]
-    # NB: this gather over frozen correspondences is [Ns] rows — small
-    me = jnp.einsum("nij,nj->ni", lin.mahal, e)
-    return jnp.sum(e * me)
+    e = lin.mu_b - p_t
+    ex, ey, ez = e[:, 0], e[:, 1], e[:, 2]
+    nx, ny, nz = lin.n_b[:, 0], lin.n_b[:, 1], lin.n_b[:, 2]
+    mx, my, mz = lin.m0[:, 0], lin.m0[:, 1], lin.m0[:, 2]
+    a = jnp.float32(1.0 - PLANE_EPS)
+    a00 = 2.0 - a * (nx * nx + mx * mx)
+    a01 = -a * (nx * ny + mx * my)
+    a02 = -a * (nx * nz + mx * mz)
+    a11 = 2.0 - a * (ny * ny + my * my)
+    a12 = -a * (ny * nz + my * mz)
+    a22 = 2.0 - a * (nz * nz + mz * mz)
+    co00 = a11 * a22 - a12 * a12
+    co01 = a02 * a12 - a01 * a22
+    co02 = a01 * a12 - a02 * a11
+    det = a00 * co00 + a01 * co01 + a02 * co02
+    inv_det = lin.weight / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    m00 = co00 * inv_det
+    m01 = co01 * inv_det
+    m02 = co02 * inv_det
+    m11 = (a00 * a22 - a02 * a02) * inv_det
+    m12 = (a01 * a02 - a00 * a12) * inv_det
+    m22 = (a00 * a11 - a01 * a01) * inv_det
+    mex = m00 * ex + m01 * ey + m02 * ez
+    mey = m01 * ex + m11 * ey + m12 * ez
+    mez = m02 * ex + m12 * ey + m22 * ez
+    return jnp.sum(ex * mex + ey * mey + ez * mez)
 
 
 def _is_converged(delta: jnp.ndarray, cfg: GicpStageConfig) -> jnp.ndarray:
@@ -242,9 +305,9 @@ def align(
     Faithful to ``LsqRegistration::computeTransformation``
     (``lsq_registration_impl.hpp:89-115``) with the reference-default LM
     inner step, or plain GN when ``cfg.optimizer == "gn"``.
-    ``backend``: "hashgrid" or "brute" (see config.resolve_backend).
+    ``backend``: "pallas" (fused), "pallas_unfused", "hashgrid", or
+    "brute" (see config.resolve_backend).
     """
-    tgt_points = target.points
     eye6 = jnp.eye(6, dtype=jnp.float32)
 
     use_lm = cfg.optimizer == "lm"
@@ -272,7 +335,7 @@ def align(
             d = _solve6(lin.h + lam * eye6, lin.b)
             delta = se3.se3_exp(d)
             xi = _reorthonormalize(delta @ x0_in)
-            yi = _compute_error(xi, src, tgt_points, lin)
+            yi = _compute_error(xi, src, lin)
             denom = jnp.dot(d, lam * d - lin.b)
             rho = (y0 - yi) / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
             accept = rho >= 0.0
