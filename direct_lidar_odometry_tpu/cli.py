@@ -202,6 +202,13 @@ def main(argv=None) -> int:
         "distance_m": round(distance, 2),
         **{k: round(v, 2) for k, v in timing.steady_state().items()},
     }
+    if runner.cfg.posegraph.use:
+        summary.update(
+            refine_rounds=len(runner.refine_log),
+            loop_edges_accepted=sum(
+                e["n_accepted"] for e in runner.refine_log
+            ),
+        )
     if args.eval and gt_poses is not None and len(est) > 1:
         gt_rel = np.linalg.inv(gt_poses[0])[None] @ gt_poses[: len(est)]
         ate = evaluation.ate(est, gt_rel, align=False)

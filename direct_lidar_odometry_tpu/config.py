@@ -139,6 +139,35 @@ class InitialPoseConfig:
 
 
 @dataclass(frozen=True)
+class PoseGraphConfig:
+    """Loop-closure + pose-graph refinement (capability add — the reference
+    has no loop closure or global refinement, SURVEY.md §5).
+
+    When ``use`` is on, the runner periodically searches the keyframe ring
+    for revisits (pose distance < ``loop_radius`` with insertion-index gap
+    >= ``min_index_gap``), re-registers the revisited keyframe clouds with
+    GICP to get measured loop constraints, and refines all keyframe poses
+    by dense SE(3) Gauss-Newton (parallel/posegraph.py), re-anchoring the
+    map and the current pose.
+    """
+
+    use: bool = False
+    refine_every_kf: int = 12    # trigger after this many new keyframes
+    check_every: int = 16        # frames between (host-synced) trigger checks
+    loop_radius: float = 7.0     # candidate keyframe pose distance [m]
+    min_index_gap: int = 12      # minimum insertion-index separation
+    max_loops: int = 4           # loop edges registered per refinement
+    iterations: int = 8          # Gauss-Newton iterations
+    chain_weight: float = 1.0
+    loop_weight: float = 2.0
+    min_loop_corr: int = 200     # reject loop edges with fewer GICP matches
+    # loop registration must swallow the accumulated drift, so its
+    # correspondence gate is much wider than the tightly-guessed S2M stage
+    loop_corr_distance: float = 2.0
+    loop_max_iterations: int = 48
+
+
+@dataclass(frozen=True)
 class MapConfig:
     """Map aggregation node equivalent (``cfg/dlo.yaml:23-25``, ``map.cc:100-131``)."""
 
@@ -206,6 +235,7 @@ class DloConfig:
     submap: SubmapConfig = field(default_factory=SubmapConfig)
     imu: ImuConfig = field(default_factory=ImuConfig)
     gicp: GicpConfig = field(default_factory=GicpConfig)
+    posegraph: PoseGraphConfig = field(default_factory=PoseGraphConfig)
     map: MapConfig = field(default_factory=MapConfig)
     shapes: ShapeConfig = field(default_factory=ShapeConfig)
 

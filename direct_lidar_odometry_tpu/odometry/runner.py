@@ -14,9 +14,11 @@ from dataclasses import dataclass, field
 import numpy as np
 import jax.numpy as jnp
 
-from direct_lidar_odometry_tpu.config import DloConfig
+from direct_lidar_odometry_tpu.config import DloConfig, resolve_backend
 from direct_lidar_odometry_tpu.core import cloud as cl, se3
-from direct_lidar_odometry_tpu.odometry import imu as imu_mod, mapper, pipeline
+from direct_lidar_odometry_tpu.odometry import (
+    imu as imu_mod, loopclosure, mapper, pipeline,
+)
 from direct_lidar_odometry_tpu.odometry.state import FrameResult, OdomState
 
 
@@ -42,6 +44,10 @@ class OdometryRunner:
             else None
         )
         self._chunk_fn = None
+        self._refine_fn = None
+        self._kf_at_refine = 0
+        self._frames_since_refine_check = 0
+        self.refine_log: list[dict] = []
         self.state: OdomState | None = None
         self.prev_stamp: float | None = None
         self.poses: list[np.ndarray] = []
@@ -128,6 +134,14 @@ class OdometryRunner:
             # computation drains, a transfer cannot
             np.asarray(result.position)
         self.stats.append(FrameStats(stamp, (time.perf_counter() - t0) * 1e3, result))
+        if cfg.posegraph.use:
+            # trigger check is host-synced (reads keyframe count), so it is
+            # rate-limited to every check_every frames to keep the async
+            # dispatch pipeline intact between checks
+            self._frames_since_refine_check += 1
+            if self._frames_since_refine_check >= cfg.posegraph.check_every:
+                self._frames_since_refine_check = 0
+                self.maybe_refine()
         return result
 
     def process_chunk(self, scans, stamps) -> FrameResult:
@@ -183,6 +197,47 @@ class OdometryRunner:
             self.stamps.append(stamps[i])
             self.stats.append(FrameStats(stamps[i], wall, None))
         return res
+
+    # -- loop closure / map refinement -------------------------------------
+    def maybe_refine(self, force: bool = False) -> dict | None:
+        """Run a loop-closure + pose-graph refinement round if due.
+
+        Due = at least ``posegraph.refine_every_kf`` keyframes were added
+        since the last round (``force=True`` skips that gate) and enough
+        keyframes exist to admit a loop (min_index_gap). Re-anchors the
+        live state (keyframe ring, clouds, current pose, cached submap);
+        returns a diagnostics dict, or None when skipped. Capability the
+        reference lacks entirely (SURVEY.md §5).
+        """
+        cfg = self.cfg
+        if self.state is None:
+            return None
+        n_kf = int(self.state.keyframes.count)
+        if n_kf < cfg.posegraph.min_index_gap + 2:
+            return None
+        if not force and (n_kf - self._kf_at_refine) < cfg.posegraph.refine_every_kf:
+            return None
+        if self._refine_fn is None:
+            import jax
+
+            backend = resolve_backend(cfg)
+            self._refine_fn = jax.jit(
+                lambda st: loopclosure.refine_and_reanchor(st, cfg, backend)
+            )
+        t0 = time.perf_counter()
+        self.state, info = self._refine_fn(self.state)
+        self._kf_at_refine = n_kf
+        entry = {
+            "frame": len(self.poses),
+            "n_keyframes": n_kf,
+            "n_candidates": int(info.n_candidates),
+            "n_accepted": int(info.n_accepted),
+            "graph_error": float(info.graph_error),
+            "max_correction_m": float(info.max_correction),
+            "wall_ms": (time.perf_counter() - t0) * 1e3,
+        }
+        self.refine_log.append(entry)
+        return entry
 
     # -- health -----------------------------------------------------------
     def health_check(self, result: FrameResult, min_corr_frac: float = 0.05):

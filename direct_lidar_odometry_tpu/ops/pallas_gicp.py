@@ -8,7 +8,7 @@ Gauss-Newton H/b accumulation with ``J = [skew(Tp) | -I]``. Round 1 mapped
 those to a Pallas 1-NN kernel followed by XLA gathers + einsum reductions
 over ``[Ns, 3, 3]`` HBM intermediates; this kernel fuses the whole
 linearization so each iteration reads the target cloud once and writes only
-``[Qc, 128]`` per-tile H/b partials plus an ``[8, Q]`` frozen-correspondence
+``[Qc, 32]`` per-tile H/b partials plus an ``[8, Q]`` frozen-correspondence
 payload (needed by the Levenberg-Marquardt gain test,
 ``lsq_registration_impl.hpp:180-204``). No per-point ``[Ns, 3, 3]`` array
 ever touches HBM and no gather ever runs: the best target's position and
@@ -66,7 +66,7 @@ _N_SLOTS = 29
 
 
 def _fused_linearize_kernel(
-    cnt_ref, cand_ref, q_ref, t_ref, hb_ref, pay_ref, idx_ref,
+    cnt_ref, cand_ref, q_ref, t_ref, hb_ref, pay_ref, idx_ref, acc_ref,
     *, qc: int, radius2: float, plane_eps: float,
 ):
     """One (batch b, query tile i) grid step.
@@ -77,7 +77,12 @@ def _fused_linearize_kernel(
     pin the branch-and-bound bound).
     t_ref [1, 8, T]: rows 0-2 target xyz, 3-5 target normal, 6 target
     normals_valid (0/1), 7 target mask (0/1).
-    hb_ref [1, 128]: per-tile packed partials (_N_SLOTS used, rest zero).
+    hb_ref [1, 32, 8]: per-tile packed partials (_N_SLOTS rows used, all 8
+    lanes of a row carry the same sum). The slot vectors are staged as
+    rows of the [32, BQ] VMEM scratch ``acc_ref`` and lane-reduced by one
+    MXU dot against ones — Mosaic lowers row stores and 2D dots natively
+    where it rejects 29-way vector stacks and scalar SMEM stores
+    ("Offset change" / "offset mismatch on non-concat dimension").
     pay_ref [1, 8, BQ]: frozen-correspondence payload — rows 0-2 mu_b,
     3-5 n_b, 6 final correspondence weight w, 7 best squared distance.
     idx_ref [1, 1, BQ]: best target index, -1 when no correspondence.
@@ -235,19 +240,21 @@ def _fused_linearize_kernel(
     b1 = -bty
     b2 = -btz
 
-    vals = jnp.stack(
-        [
-            h00, h01, h02, h11, h12, h22,
-            t00, t01, t02, t10, t11, t12, t20, t21, t22,
-            m00, m01, m02, m11, m12, m22,
-            b0, b1, b2, -mex, -mey, -mez,
-            err, w,
-        ],
-        axis=0,
-    )  # [_N_SLOTS, BQ]
-    sums = jnp.sum(vals, axis=1)  # [_N_SLOTS]
-    hb_ref[0, :] = jnp.concatenate(
-        [sums, jnp.zeros((128 - _N_SLOTS,), jnp.float32)]
+    slot_vals = (
+        h00, h01, h02, h11, h12, h22,
+        t00, t01, t02, t10, t11, t12, t20, t21, t22,
+        m00, m01, m02, m11, m12, m22,
+        b0, b1, b2, -mex, -mey, -mez,
+        err, w,
+    )  # _N_SLOTS [BQ]-vectors
+    for k, v in enumerate(slot_vals):
+        acc_ref[k, :] = v
+    for k in range(len(slot_vals), 32):
+        acc_ref[k, :] = jnp.zeros((_BQ,), jnp.float32)
+    ones = jnp.ones((_BQ, 8), jnp.float32)
+    hb_ref[0, :, :] = jax.lax.dot_general(
+        acc_ref[:, :], ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     pay_ref[0, 0, :] = bx
@@ -298,7 +305,7 @@ def _fused_linearize_batched(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 128), lambda b, i: (b * qc + i, 0),
+            pl.BlockSpec((1, 32, 8), lambda b, i: (b * qc + i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, _BQ), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
@@ -306,17 +313,18 @@ def _fused_linearize_batched(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b_total * qc, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b_total * qc, 32, 8), jnp.float32),
             jax.ShapeDtypeStruct((b_total, 8, q_total), jnp.float32),
             jax.ShapeDtypeStruct((b_total, 1, q_total), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((32, _BQ), jnp.float32)],
         interpret=interpret,
     )(
         counts.reshape(b_total * qc),
         cand.reshape(b_total * qc, n_c),
         q_pack, t_pack,
     )
-    return hb.reshape(b_total, qc, 128), pay, idx[:, 0, :]
+    return hb[:, :, 0].reshape(b_total, qc, 32), pay, idx[:, 0, :]
 
 
 @lru_cache(maxsize=None)
@@ -414,7 +422,7 @@ def fused_linearize(
     fn = _fused_fn(float(radius), float(plane_eps), bool(interpret))
     hb, pay, corr = fn(t_pack, chunk_lo, chunk_hi, q_pack)
 
-    sums = jnp.sum(hb, axis=0)  # [128]
+    sums = jnp.sum(hb, axis=0)  # [32]
     h00, h01, h02, h11, h12, h22 = (sums[k] for k in range(6))
     tr = sums[6:15].reshape(3, 3)
     m00, m01, m02, m11, m12, m22 = (sums[15 + k] for k in range(6))

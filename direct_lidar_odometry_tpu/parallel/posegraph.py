@@ -7,9 +7,19 @@ which re-anchors the map for long trajectories.
 
 TPU-first design choices:
 - residuals ``e_ij = log(Z_ij^-1 X_i^-1 X_j)`` batched over constraints
-  (vmap over [M]), Jacobians by the standard right-perturbation
-  approximation (J_i = -Ad, J_j = I at the linearization point — exact
-  enough for small residuals, iterated to convergence);
+  (vmap over [M]), with ANALYTIC first-order Jacobians of the same
+  pseudo-exponential retraction the GICP solver uses
+  (``core/se3.se3_exp``: rotation via Rodrigues, translation applied
+  directly). Right-perturbing ``X_j <- X_j P(xi)`` gives
+  ``J_j = [[Jr^-1(w), 0], [0, R_E]]`` and perturbing ``X_i`` gives
+  ``J_i = [[-Jr^-1(w) R_A^T, 0], [R_Z^T skew(t_A), -R_Z^T]]`` with
+  ``A = X_i^-1 X_j``, ``E = Z^-1 A``, ``w = log(R_E)`` — the
+  rotation/translation coupling block ``R_Z^T skew(t_A)`` is what makes
+  a loop-closure rotation correction redistribute translation drift
+  along the chain. ``Jr^-1(w) ~ I + skew(w)/2`` (first-order right
+  Jacobian inverse — standard for PGO, iterated to convergence).
+  Analytic rather than jacfwd because ``so3_log``'s arccos has an
+  unbounded derivative at zero residual (every chain edge starts there);
 - the normal system is assembled DENSE: H is [6K, 6K]. For K <= 1024
   that is a 6144^2 matrix — a shape the MXU solves faster than any
   sparse-scatter pipeline XLA could produce;
@@ -48,18 +58,39 @@ def residual(poses: jnp.ndarray, edge, z) -> jnp.ndarray:
     return jnp.concatenate([w, err[:3, 3]])
 
 
+def edge_jacobians(x_i, x_j, z):
+    """Residual + exact first-order Jacobians wrt right perturbations.
+
+    Retraction: ``X <- X P(xi)``, ``P(xi) = (so3_exp(xi_w), xi_t)`` — the
+    same pseudo-exp the whole framework optimizes over (se3.se3_exp).
+    Derivation in the module docstring. Returns (r [6], J_i [6,6],
+    J_j [6,6]).
+    """
+    a = se3.se3_inverse(x_i) @ x_j          # A = X_i^-1 X_j
+    err = se3.se3_inverse(z) @ a            # E = Z^-1 A
+    r_e = err[:3, :3]
+    w = se3.so3_log(r_e)
+    r = jnp.concatenate([w, err[:3, 3]])
+
+    jr_inv = jnp.eye(3, dtype=jnp.float32) + 0.5 * se3.skew(w)
+    r_a = a[:3, :3]
+    r_zt = z[:3, :3].T
+    zero = jnp.zeros((3, 3), jnp.float32)
+    j_j = jnp.block([[jr_inv, zero], [zero, r_e]])
+    j_i = jnp.block(
+        [[-jr_inv @ r_a.T, zero], [r_zt @ se3.skew(a[:3, 3]), -r_zt]]
+    )
+    return r, j_i, j_j
+
+
 def _edge_terms(poses, edge, z, w):
-    """Per-edge H-blocks and b-segments (Gauss-Newton, unit Jacobian approx:
-    J_j = +I, J_i = -I in the edge tangent frame — adequate for the small
-    inter-keyframe rotations of an odometry chain, iterated outside)."""
-    r = residual(poses, edge, z)  # [6]
-    hw = w
-    h_ii = hw * jnp.eye(6, dtype=jnp.float32)
-    h_jj = h_ii
-    h_ij = -h_ii
-    # gradient segments of F = 1/2 sum w ||e||^2 (J_i = -I, J_j = +I)
-    b_i = -hw * r
-    b_j = hw * r
+    """Per-edge Gauss-Newton H-blocks and b-segments."""
+    r, j_i, j_j = edge_jacobians(poses[edge[0]], poses[edge[1]], z)
+    h_ii = w * (j_i.T @ j_i)
+    h_jj = w * (j_j.T @ j_j)
+    h_ij = w * (j_i.T @ j_j)
+    b_i = w * (j_i.T @ r)
+    b_j = w * (j_j.T @ r)
     return r, h_ii, h_jj, h_ij, b_i, b_j
 
 
