@@ -133,8 +133,13 @@ def odom_frame(
     raw_points: jnp.ndarray,
     raw_mask: jnp.ndarray,
     imu_prior: jnp.ndarray,
+    hull_masks: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[OdomState, FrameResult]:
-    """One odometry frame (reference ``icpCB`` body + ``getNextPose``)."""
+    """One odometry frame (reference ``icpCB`` body + ``getNextPose``).
+
+    ``hull_masks``: optional exact host hull memberships, see
+    :func:`submap.select_submap_keyframes`.
+    """
     shapes = cfg.shapes
 
     # --- preprocessing + metrics (odom.cc:650-659) ---
@@ -182,7 +187,7 @@ def odom_frame(
     query_pos = se3.se3_translation(t_s2s_global)
     sel = submap.select_submap_keyframes(
         state.keyframes, state.submap_members,
-        query_pos, thresh_dist, cfg, directions,
+        query_pos, thresh_dist, cfg, directions, hull_masks,
     )
     state = submap.assemble_submap(state, sel, query_pos, cfg, backend)
 
@@ -258,13 +263,18 @@ def make_step_fns(
     """(init_fn, step_fn), both jitted, shapes fixed by ``cfg.shapes``.
 
     init_fn(state, raw_points, raw_mask) -> state
-    step_fn(state, raw_points, raw_mask, imu_prior 4x4) -> (state, FrameResult)
+    step_fn(state, raw_points, raw_mask, imu_prior 4x4,
+            hull_cvx [K], hull_ccv [K], hull_fresh) -> (state, FrameResult)
     """
     backend = resolve_backend(cfg)
     directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
     init_fn = jax.jit(f32_matmuls(partial(init_frame, cfg, backend)))
-    step_fn = jax.jit(f32_matmuls(partial(odom_frame, cfg, backend, directions)))
-    return init_fn, step_fn
+
+    def step(state, pts, mask, imu_prior, hull_cvx, hull_ccv, hull_fresh):
+        return odom_frame(cfg, backend, directions, state, pts, mask,
+                          imu_prior, (hull_cvx, hull_ccv, hull_fresh))
+
+    return init_fn, jax.jit(f32_matmuls(step))
 
 
 def make_quantized_step_fns(
@@ -286,9 +296,11 @@ def make_quantized_step_fns(
         c = cl.dequantize(q, lo, scale, count)
         return init_frame(cfg, backend, state, c.points, c.mask)
 
-    def step_q(state, q, lo, scale, count, imu_prior):
+    def step_q(state, q, lo, scale, count, imu_prior,
+               hull_cvx, hull_ccv, hull_fresh):
         c = cl.dequantize(q, lo, scale, count)
-        return odom_frame(cfg, backend, directions, state, c.points, c.mask, imu_prior)
+        return odom_frame(cfg, backend, directions, state, c.points, c.mask,
+                          imu_prior, (hull_cvx, hull_ccv, hull_fresh))
 
     return jax.jit(f32_matmuls(init_q)), jax.jit(f32_matmuls(step_q))
 
@@ -315,20 +327,24 @@ def make_chunked_step_fn(cfg: DloConfig) -> Callable:
     backend = resolve_backend(cfg)
     directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
 
-    if cfg.quantize_transfer:
-        def body(state, xs):
-            q, lo, scale, count, imu_prior = xs
-            c = cl.dequantize(q, lo, scale, count)
-            return odom_frame(
-                cfg, backend, directions, state, c.points, c.mask, imu_prior
-            )
-    else:
-        def body(state, xs):
-            pts, mask, imu_prior = xs
-            return odom_frame(cfg, backend, directions, state, pts, mask, imu_prior)
+    def chunk_fn(state, *args):
+        # trailing three args are the hull masks, constant for the chunk
+        # (staleness <= chunk length — documented in hosthull.py)
+        *stacked, hull_cvx, hull_ccv, hull_fresh = args
+        hull = (hull_cvx, hull_ccv, hull_fresh)
 
-    def chunk_fn(state, *stacked):
-        return jax.lax.scan(body, state, stacked)
+        if cfg.quantize_transfer:
+            def body(state, xs):
+                q, lo, scale, count, imu_prior = xs
+                c = cl.dequantize(q, lo, scale, count)
+                return odom_frame(cfg, backend, directions, state,
+                                  c.points, c.mask, imu_prior, hull)
+        else:
+            def body(state, xs):
+                pts, mask, imu_prior = xs
+                return odom_frame(cfg, backend, directions, state,
+                                  pts, mask, imu_prior, hull)
+        return jax.lax.scan(body, state, tuple(stacked))
 
     return jax.jit(f32_matmuls(chunk_fn))
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from direct_lidar_odometry_tpu.config import DloConfig, resolve_backend
 from direct_lidar_odometry_tpu.core import cloud as cl, se3
 from direct_lidar_odometry_tpu.odometry import (
-    imu as imu_mod, loopclosure, mapper, pipeline,
+    hosthull, imu as imu_mod, loopclosure, mapper, pipeline,
 )
 from direct_lidar_odometry_tpu.odometry.state import FrameResult, OdomState
 
@@ -48,6 +48,14 @@ class OdometryRunner:
         self._kf_at_refine = 0
         self._frames_since_refine_check = 0
         self.refine_log: list[dict] = []
+        # exact host hull masks (hosthull.py), refreshed one frame behind
+        k = cfg.shapes.max_keyframes
+        self._hull_cvx = np.zeros((k,), bool)
+        self._hull_ccv = np.zeros((k,), bool)
+        self._hull_fresh = False
+        self._hull_pending = None   # (positions, count, thresh) device refs
+        self._hull_sig = None       # bytes of last positions hulled
+        self._hull_dev = None       # cached device-side mask args
         self.state: OdomState | None = None
         self.prev_stamp: float | None = None
         self.poses: list[np.ndarray] = []
@@ -107,6 +115,7 @@ class OdometryRunner:
         if self.state is None:
             state = pipeline.fresh_state(cfg, self._initial_pose())
             self.state = self.init_fn(state, *scan_args)
+            self._enqueue_hull_fetch(jnp.float32(cfg.keyframe.thresh_dist))
             self.prev_stamp = stamp
             self.poses.append(self.state.pose)
             self.stamps.append(stamp)
@@ -124,7 +133,11 @@ class OdometryRunner:
                 jnp.asarray(window), jnp.int32(_count)
             )
 
-        self.state, result = self.step_fn(self.state, *scan_args, imu_prior)
+        self._refresh_hull_masks()
+        self.state, result = self.step_fn(
+            self.state, *scan_args, imu_prior, *self._hull_args()
+        )
+        self._enqueue_hull_fetch(result.keyframe_thresh_dist)
         self.prev_stamp = stamp
         self.poses.append(result.pose)
         self.stamps.append(stamp)
@@ -189,7 +202,11 @@ class OdometryRunner:
 
         if self._chunk_fn is None:
             self._chunk_fn = pipeline.make_chunked_step_fn(cfg)
-        self.state, res = self._chunk_fn(self.state, *stacked, jnp.asarray(priors))
+        self._refresh_hull_masks()
+        self.state, res = self._chunk_fn(
+            self.state, *stacked, jnp.asarray(priors), *self._hull_args()
+        )
+        self._enqueue_hull_fetch(res.keyframe_thresh_dist[-1])
         self.prev_stamp = stamps[-1]
         wall = (time.perf_counter() - t0) * 1e3 / k
         for i in range(k):
@@ -197,6 +214,63 @@ class OdometryRunner:
             self.stamps.append(stamps[i])
             self.stats.append(FrameStats(stamps[i], wall, None))
         return res
+
+    # -- exact host hulls (one frame behind) --------------------------------
+    def _refresh_hull_masks(self) -> None:
+        """Materialize the async positions fetch enqueued last frame and
+        recompute exact QHull membership masks if the keyframe set (or the
+        adaptive alpha) changed. The fetch was issued right after the
+        previous dispatch, so by now it is normally complete — this stays
+        one frame behind without stalling the pipeline (hosthull.py)."""
+        if self._hull_pending is None:
+            return
+        pos_ref, cnt_ref, thresh_ref = self._hull_pending
+        # never block the dispatch pipeline: if the producing step has not
+        # finished yet, keep the fetch pending and try again next frame
+        # (mask staleness grows by a frame; the reference tolerates stale
+        # submaps the same way, odom.cc:1309)
+        for r in (pos_ref, cnt_ref, thresh_ref):
+            if hasattr(r, "is_ready") and not r.is_ready():
+                return
+        self._hull_pending = None
+        pos = np.asarray(pos_ref)
+        cnt = int(cnt_ref)
+        thresh = float(thresh_ref)
+        sig = pos[:cnt].tobytes() + np.float32(thresh).tobytes()
+        if sig == self._hull_sig:
+            return
+        self._hull_sig = sig
+        self._hull_cvx, self._hull_ccv = hosthull.host_hull_masks(
+            pos, cnt, thresh, len(self._hull_cvx)
+        )
+        self._hull_fresh = True
+        self._hull_dev = None  # invalidate cached device-side masks
+
+    def _enqueue_hull_fetch(self, thresh_ref) -> None:
+        if self.state is None:
+            return
+        if self._hull_pending is not None:
+            # an unconsumed fetch is still in flight; keep it — replacing
+            # it every frame would chase the queue tail and never be ready
+            # under pipelined dispatch
+            return
+        refs = (self.state.keyframes.positions, self.state.keyframes.count,
+                thresh_ref)
+        for r in refs:
+            try:
+                r.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+        self._hull_pending = refs
+
+    def _hull_args(self):
+        if self._hull_dev is None:
+            self._hull_dev = (
+                jnp.asarray(self._hull_cvx),
+                jnp.asarray(self._hull_ccv),
+                jnp.asarray(self._hull_fresh),
+            )
+        return self._hull_dev
 
     # -- loop closure / map refinement -------------------------------------
     def maybe_refine(self, force: bool = False) -> dict | None:

@@ -51,11 +51,19 @@ def select_submap_keyframes(
     alpha: jnp.ndarray,
     cfg: DloConfig,
     directions: jnp.ndarray,
+    hull_masks: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> SubmapSelection:
     """Choose the submap keyframe set for the current S2S pose estimate.
 
     ``query_pos`` is the S2S-propagated position (reference uses
     ``T_s2s`` translation, ``odom.cc:1248``).
+
+    ``hull_masks`` = (cvx [K] bool, ccv [K] bool, fresh scalar bool):
+    exact QHull memberships computed on the host one frame behind
+    (odometry/hosthull.py). When provided and fresh, they replace the
+    device direction-sampled surrogates — exact reference semantics
+    (``odom.cc:1017-1090``); when stale/absent the surrogate keeps the
+    step fully device-resident (batched/sharded paths, first frames).
     """
     k = kf.capacity
     kmask = jnp.arange(k) < kf.count
@@ -65,14 +73,22 @@ def select_submap_keyframes(
     knn_sel = k_smallest_members(d2, kmask, cfg.submap.knn)
 
     cvx = hulls.convex_membership(kf.positions, kmask, directions)
-    cvx_sel = k_smallest_members(d2, cvx, cfg.submap.kcv)
-
     ccv = hulls.concave_membership(kf.positions, kmask, directions, alpha)
+    if hull_masks is not None:
+        h_cvx, h_ccv, fresh = hull_masks
+        cvx = jnp.where(fresh, h_cvx & kmask, cvx)
+        ccv = jnp.where(fresh, h_ccv & kmask, ccv)
+    cvx_sel = k_smallest_members(d2, cvx, cfg.submap.kcv)
     ccv_sel = k_smallest_members(d2, ccv, cfg.submap.kcc)
 
     members = (knn_sel | cvx_sel | ccv_sel) & kmask
-    # cap at max_submap_kf members, keeping the smallest keyframe indices
-    # (deterministic; the reference set is <= knn+kcv+kcc anyway)
+    # cap at max_submap_kf members, keeping the NEAREST (the reference set
+    # is <= knn+kcv+kcc = 30 pre-dedup so overflow is rare, but when it
+    # happens the distant hull-context members are the right ones to cut —
+    # never the nearby keyframes the scan actually overlaps)
+    members = k_smallest_members(d2, members, cfg.shapes.max_submap_kf)
+    # k_smallest keeps <= kth value, so exact distance ties can overflow
+    # the cap; enforce the hard bound the slot packing needs
     idx_rank = jnp.cumsum(members.astype(jnp.int32)) - 1
     members = members & (idx_rank < cfg.shapes.max_submap_kf)
     changed = jnp.any(members != prev_members)

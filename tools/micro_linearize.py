@@ -61,10 +61,14 @@ def main() -> None:
     radius = cfg.gicp.s2m.max_correspondence_distance
 
     nn_fn = jax.jit(lambda q: pallas_nn.query_1nn_sorted(tp, tm, lo, hi, q, sm, radius))
-    lin_fn = jax.jit(lambda x: gicp._linearize(x, src, tgt, cfg.gicp.s2m, 32, "pallas"))
+    fused_fn = jax.jit(lambda x: gicp._linearize(x, src, tgt, cfg.gicp.s2m, 32, "pallas"))
+    unfused_fn = jax.jit(
+        lambda x: gicp._linearize(x, src, tgt, cfg.gicp.s2m, 32, "pallas_unfused")
+    )
 
-    print(f"NN kernel alone        {timeit(nn_fn, sp):8.3f} ms")
-    print(f"full _linearize        {timeit(lin_fn, x0):8.3f} ms")
+    print(f"NN kernel alone          {timeit(nn_fn, sp):8.3f} ms")
+    print(f"_linearize fused         {timeit(fused_fn, x0):8.3f} ms")
+    print(f"_linearize unfused       {timeit(unfused_fn, x0):8.3f} ms")
 
 
 if __name__ == "__main__":

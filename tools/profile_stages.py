@@ -133,7 +133,12 @@ def main() -> None:
         ("submap select+assemble", timeit(submap_fn, state, t_global)),
         ("s2m align", timeit(s2m_fn, state2, src, t_global)),
         ("keyframe maybe_spawn", timeit(kf_fn, state2, s2m_res.transform)),
-        ("FULL step (jit)", timeit(full_step, state, pts, msk, eye)),
+        ("FULL step (jit)", timeit(
+            full_step, state, pts, msk, eye,
+            jnp.zeros((cfg.shapes.max_keyframes,), bool),
+            jnp.zeros((cfg.shapes.max_keyframes,), bool),
+            jnp.asarray(False),
+        )),
     ]
     for name, ms in rows:
         print(f"{name:28s} {ms:8.2f} ms")
