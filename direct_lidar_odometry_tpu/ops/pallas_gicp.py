@@ -66,15 +66,25 @@ _N_SLOTS = 29
 
 
 def _fused_linearize_kernel(
-    cnt_ref, cand_ref, q_ref, t_ref, hb_ref, pay_ref, idx_ref, acc_ref,
+    cnt_ref, cand_ref, q_ref, s_ref, sidx_ref, t_ref,
+    hb_ref, pay_ref, idx_ref, acc_ref,
     *, qc: int, radius2: float, plane_eps: float,
 ):
     """One (batch b, query tile i) grid step.
 
     q_ref [1, 8, BQ]: rows 0-2 transformed source xyz, 3-5 rotated source
     normal m = R n_a, 6 query weight (mask & normals_valid, 0/1), 7 initial
-    best distance (radius^2 valid / 0 invalid — invalid lanes must never
-    pin the branch-and-bound bound).
+    best distance: seed d2 when warm-started, radius^2 for valid unseeded
+    lanes, 0 for invalid lanes (they must never pin the branch-and-bound
+    bound).
+    s_ref [1, 8, BQ]: warm-start payload for seeded lanes — rows 0-2 the
+    seed target point, 3-5 its normal, 6 its normals_valid; zeros when
+    cold. Seeding with the previous GICP iteration's correspondence
+    collapses the initial bound from radius^2 to the actual neighbor
+    distance, so the gap-sorted traversal exits after the few
+    AABB-overlapping chunks — the dominant per-iteration saving, and
+    EXACT: every chunk that could beat the seed is still visited.
+    sidx_ref [1, 1, BQ] int32: seed target index, -1 when cold.
     t_ref [1, 8, T]: rows 0-2 target xyz, 3-5 target normal, 6 target
     normals_valid (0/1), 7 target mask (0/1).
     hb_ref [1, 32, 8]: per-tile packed partials (_N_SLOTS rows used, all 8
@@ -121,7 +131,7 @@ def _fused_linearize_kernel(
         return (k < cnt) & (gapq * gap_unit <= bound)
 
     def body(carry):
-        best_d2, best_idx, best_pay, k, _ = carry
+        best_d2, best_idx, pay6, k, _ = carry
         j = cand_ref[row, k] & ((1 << _IDX_BITS) - 1)
         off = pl.multiple_of(j * _BT_S, _BT_S)
         chunk = t_ref[0, :, pl.ds(off, _BT_S)]        # [8, BT_S]
@@ -144,29 +154,25 @@ def _fused_linearize_kernel(
             sel, chunk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                              # [BQ, 8] on MXU
-        best_pay = jnp.where(better[:, None], selpay, best_pay)
+        pay6 = tuple(
+            jnp.where(better, selpay[:, c], pay6[c]) for c in range(7)
+        )
         best_d2 = jnp.where(better, cmin, best_d2)
         best_idx = jnp.where(better, off + arg.astype(jnp.int32), best_idx)
-        return (best_d2, best_idx, best_pay, k + 1, jnp.max(best_d2))
+        return (best_d2, best_idx, pay6, k + 1, jnp.max(best_d2))
 
     init = (
         qinit,
-        jnp.full((_BQ,), -1, jnp.int32),
-        jnp.zeros((_BQ, 8), jnp.float32),
+        sidx_ref[0, 0, :],
+        tuple(s_ref[0, c, :] for c in range(7)),
         jnp.int32(0),
         jnp.max(qinit),
     )
-    best_d2, best_idx, best_pay, _, _ = jax.lax.while_loop(cond, body, init)
+    best_d2, best_idx, pay6, visits, _ = jax.lax.while_loop(cond, body, init)
 
     # ---- per-query GICP linearization (all [BQ]-wide VPU math) ----
     found = best_idx >= 0
-    bx = best_pay[:, 0]
-    by = best_pay[:, 1]
-    bz = best_pay[:, 2]
-    nx = best_pay[:, 3]
-    ny = best_pay[:, 4]
-    nz = best_pay[:, 5]
-    tval = best_pay[:, 6]
+    bx, by, bz, nx, ny, nz, tval = pay6
     w = jnp.where(found & (qw > 0.5) & (tval > 0.5), 1.0, 0.0)
 
     mx = q_ref[0, 3, :]
@@ -240,13 +246,17 @@ def _fused_linearize_kernel(
     b1 = -bty
     b2 = -btz
 
+    # slots 29/30: B&B diagnostics — chunks visited / candidates listed
+    # per tile (caller divides by BQ; see fused_linearize return)
+    vis = jnp.full((_BQ,), visits.astype(jnp.float32) / _BQ)
+    cnd = jnp.full((_BQ,), cnt.astype(jnp.float32) / _BQ)
     slot_vals = (
         h00, h01, h02, h11, h12, h22,
         t00, t01, t02, t10, t11, t12, t20, t21, t22,
         m00, m01, m02, m11, m12, m22,
         b0, b1, b2, -mex, -mey, -mez,
-        err, w,
-    )  # _N_SLOTS [BQ]-vectors
+        err, w, vis, cnd,
+    )  # _N_SLOTS (+2 diagnostics) [BQ]-vectors
     for k, v in enumerate(slot_vals):
         acc_ref[k, :] = v
     for k in range(len(slot_vals), 32):
@@ -269,10 +279,11 @@ def _fused_linearize_kernel(
 
 
 def _fused_linearize_batched(
-    t_pack, chunk_lo, chunk_hi, q_pack,
+    t_pack, chunk_lo, chunk_hi, q_pack, s_pack, seed_idx,
     radius: float, plane_eps: float, interpret: bool,
 ):
-    """Batched fused linearize. t_pack [B, 8, T], q_pack [B, 8, Q]."""
+    """Batched fused linearize. t_pack [B, 8, T], q_pack/s_pack [B, 8, Q],
+    seed_idx [B, 1, Q] int32."""
     from direct_lidar_odometry_tpu.ops import morton
 
     b_total, _, t_total = t_pack.shape
@@ -301,6 +312,10 @@ def _fused_linearize_batched(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cand [B*Qc, C]
             pl.BlockSpec((1, 8, _BQ), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, _BQ), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _BQ), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, t_total), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -322,7 +337,7 @@ def _fused_linearize_batched(
     )(
         counts.reshape(b_total * qc),
         cand.reshape(b_total * qc, n_c),
-        q_pack, t_pack,
+        q_pack, s_pack, seed_idx, t_pack,
     )
     return hb[:, :, 0].reshape(b_total, qc, 32), pay, idx[:, 0, :]
 
@@ -333,9 +348,10 @@ def _fused_fn(radius: float, plane_eps: float, interpret: bool):
     (pallas' default batching cannot express per-batch SMEM candidate
     lists — same rationale as pallas_nn._pruned_1nn_fn)."""
 
-    def single(t_pack, clo, chi, q_pack):
+    def single(t_pack, clo, chi, q_pack, s_pack, seed_idx):
         out = _fused_linearize_batched(
             t_pack[None], clo[None], chi[None], q_pack[None],
+            s_pack[None], seed_idx[None],
             radius, plane_eps, interpret,
         )
         return jax.tree.map(lambda x: x[0], out)
@@ -358,9 +374,10 @@ class FusedLinearization:
     """Unpacked fused-kernel results (see _N_SLOTS layout)."""
 
     __slots__ = ("h", "b", "error", "n_corr", "mu_b", "n_b", "weight",
-                 "best_d2", "corr")
+                 "best_d2", "corr", "bb_visits", "bb_candidates")
 
-    def __init__(self, h, b, error, n_corr, mu_b, n_b, weight, best_d2, corr):
+    def __init__(self, h, b, error, n_corr, mu_b, n_b, weight, best_d2, corr,
+                 bb_visits=None, bb_candidates=None):
         self.h = h
         self.b = b
         self.error = error
@@ -370,6 +387,8 @@ class FusedLinearization:
         self.weight = weight
         self.best_d2 = best_d2
         self.corr = corr
+        self.bb_visits = bb_visits
+        self.bb_candidates = bb_candidates
 
 
 def fused_linearize(
@@ -385,6 +404,7 @@ def fused_linearize(
     radius: float,
     plane_eps: float = 1e-3,
     interpret: bool | None = None,
+    seed_corr: jnp.ndarray | None = None,
 ) -> FusedLinearization:
     """One GICP linearization pass over a Morton-sorted target cloud.
 
@@ -396,16 +416,48 @@ def fused_linearize(
     (mu_b, n_b, weight, best_d2, corr) the LM gain test needs
     (``nano_gicp_impl.hpp:272-296`` re-evaluates error with frozen
     correspondences and Mahalanobis).
+
+    ``seed_corr`` [Q] int32 (or None): previous-iteration correspondence
+    indices for warm-starting the branch-and-bound (see kernel docstring).
+    The result is exactly the unseeded result — the seed only tightens the
+    initial bound; one [Q]-row gather per pass replaces multi-chunk
+    traversals inside the kernel.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    r2 = jnp.float32(float(radius) ** 2)
+    q = p_t.shape[0]
+    if seed_corr is None:
+        qinit = jnp.where(query_weight, r2, 0.0)
+        s_pack = jnp.zeros((8, q), jnp.float32)
+        seed_idx = jnp.full((1, q), -1, jnp.int32)
+    else:
+        j = jnp.clip(seed_corr, 0, target_points.shape[0] - 1)
+        mu_s = target_points[j]                     # [Q, 3]
+        d2_s = jnp.sum((p_t - mu_s) ** 2, axis=-1)
+        seeded = (seed_corr >= 0) & query_weight & (d2_s <= r2)
+        qinit = jnp.where(
+            query_weight, jnp.where(seeded, d2_s, r2), 0.0
+        )
+        sf = seeded.astype(jnp.float32)[:, None]
+        s_pack = jnp.concatenate(
+            [
+                (mu_s * sf).T.astype(jnp.float32),
+                (target_normals[j] * sf).T.astype(jnp.float32),
+                (target_normals_valid[j].astype(jnp.float32) * sf[:, 0])[None, :],
+                jnp.zeros((1, q), jnp.float32),
+            ],
+            axis=0,
+        )  # [8, Q]
+        seed_idx = jnp.where(seeded, j, -1).astype(jnp.int32)[None, :]
 
     q_pack = jnp.concatenate(
         [
             p_t.T.astype(jnp.float32),
             m_rot.T.astype(jnp.float32),
             query_weight.astype(jnp.float32)[None, :],
-            jnp.where(query_weight, jnp.float32(float(radius) ** 2), 0.0)[None, :],
+            qinit[None, :],
         ],
         axis=0,
     )  # [8, Q]
@@ -420,7 +472,7 @@ def fused_linearize(
     )  # [8, T]
 
     fn = _fused_fn(float(radius), float(plane_eps), bool(interpret))
-    hb, pay, corr = fn(t_pack, chunk_lo, chunk_hi, q_pack)
+    hb, pay, corr = fn(t_pack, chunk_lo, chunk_hi, q_pack, s_pack, seed_idx)
 
     sums = jnp.sum(hb, axis=0)  # [32]
     h00, h01, h02, h11, h12, h22 = (sums[k] for k in range(6))
@@ -441,4 +493,6 @@ def fused_linearize(
         weight=pay[6, :],
         best_d2=pay[7, :],
         corr=corr,
+        bb_visits=sums[29],       # total chunk visits across tiles
+        bb_candidates=sums[30],   # total candidate-list length across tiles
     )

@@ -10,6 +10,7 @@ replicated — the Schur-reduction recipe from BASELINE.json).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable
 
@@ -21,6 +22,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from direct_lidar_odometry_tpu.config import DloConfig
 from direct_lidar_odometry_tpu.odometry import hulls, pipeline
 from direct_lidar_odometry_tpu.parallel import posegraph
+
+
+def init_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up: initialize the jax.distributed runtime.
+
+    On TPU pods the three arguments are auto-detected from the environment
+    (``jax.distributed.initialize()`` with no args); elsewhere pass the
+    coordinator address ``host:port``, world size, and rank — or set
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID. After
+    this, ``jax.devices()`` spans all hosts and :func:`make_mesh` builds a
+    global mesh; the sharded step and distributed refine work unchanged
+    (collectives ride ICI within a slice, DCN across hosts). Safe to call
+    once per process; subsequent calls are ignored.
+    """
+    import jax
+
+    if jax.process_count() > 1:  # already initialized
+        return
+    kw = {}
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator:
+        kw = dict(
+            coordinator_address=coordinator,
+            num_processes=num_processes
+            or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=process_id
+            or int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+    try:
+        jax.distributed.initialize(**kw)
+    except (ValueError, RuntimeError):
+        # single-process environment (no coordinator): run locally
+        pass
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "seq") -> Mesh:

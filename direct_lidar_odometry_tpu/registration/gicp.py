@@ -184,7 +184,8 @@ def _update_correspondences(
 
 
 def _linearize(
-    x0: jnp.ndarray, src: GicpSource, target: GicpTarget, cfg, cap, backend
+    x0: jnp.ndarray, src: GicpSource, target: GicpTarget, cfg, cap, backend,
+    seed_corr: jnp.ndarray | None = None,
 ) -> _Linearization:
     """Reference nano_gicp_impl.hpp:213-270 as one fused masked reduction.
 
@@ -192,6 +193,9 @@ def _linearize(
     search, Mahalanobis, and H/b accumulation in one VMEM traversal, no
     [Ns,3,3] HBM intermediates, no gathers. Other backends: 1-NN query +
     XLA einsum reduction.
+
+    ``seed_corr``: previous-iteration correspondences to warm-start the
+    pallas branch-and-bound (exact — see pallas_gicp.fused_linearize).
     """
     if backend == "pallas":
         r = x0[:3, :3]
@@ -202,6 +206,7 @@ def _linearize(
             target.points, target.mask, target.normals, target.normals_valid,
             target.chunk_lo, target.chunk_hi, p_t, m0, qw,
             cfg.max_correspondence_distance, PLANE_EPS,
+            seed_corr=seed_corr,
         )
         return _Linearization(
             h=fl.h, b=fl.b, error=fl.error, corr=fl.corr, weight=fl.weight,
@@ -312,12 +317,12 @@ def align(
 
     use_lm = cfg.optimizer == "lm"
 
-    def lm_step(x0, lm_lambda):
+    def lm_step(x0, lm_lambda, seed_corr):
         """One step_lm (lsq_registration_impl.hpp:161-208).
 
         Returns (x_new, lambda_new, delta, ok, h).
         """
-        lin = _linearize(x0, src, target, cfg, cap, backend)
+        lin = _linearize(x0, src, target, cfg, cap, backend, seed_corr)
         y0 = lin.error
         lm_lambda = jnp.where(
             lm_lambda < 0.0,
@@ -358,15 +363,17 @@ def align(
         x_new, lam_new, _, delta, _, _, ok = jax.lax.while_loop(
             inner_cond, inner_body, init
         )
-        return x_new, lam_new, delta, ok, lin.h, lin.error, lin.n_corr
+        return (x_new, lam_new, delta, ok, lin.h, lin.error, lin.n_corr,
+                lin.corr)
 
-    def gn_step(x0, lm_lambda):
+    def gn_step(x0, lm_lambda, seed_corr):
         """step_gn (lsq_registration_impl.hpp:142-158)."""
-        lin = _linearize(x0, src, target, cfg, cap, backend)
+        lin = _linearize(x0, src, target, cfg, cap, backend, seed_corr)
         d = _solve6(lin.h, lin.b)
         delta = se3.se3_exp(d)
         x_new = _reorthonormalize(delta @ x0)
-        return x_new, lm_lambda, delta, jnp.asarray(True), lin.h, lin.error, lin.n_corr
+        return (x_new, lm_lambda, delta, jnp.asarray(True), lin.h, lin.error,
+                lin.n_corr, lin.corr)
 
     step = lm_step if use_lm else gn_step
 
@@ -375,21 +382,27 @@ def align(
         return (i < cfg.max_iterations) & (~converged) & (~failed)
 
     def outer_body(c):
-        x0, lam, i, _, _, h_prev, err_prev, nc_prev = c
-        x_new, lam_new, delta, ok, h, err, n_corr = step(x0, lam)
+        x0, lam, i, _, _, h_prev, err_prev, nc_prev, corr_prev = c
+        # warm-start the NN search with the previous iteration's
+        # correspondences (iteration 0 runs cold: corr_prev is all -1)
+        x_new, lam_new, delta, ok, h, err, n_corr, corr = step(
+            x0, lam, corr_prev
+        )
         converged = ok & _is_converged(delta, cfg)
         failed = ~ok
         x_keep = jnp.where(ok, x_new, x0)
-        return (x_keep, lam_new, i + 1, converged, failed, h, err, n_corr)
+        return (x_keep, lam_new, i + 1, converged, failed, h, err, n_corr,
+                corr)
 
     x0 = _reorthonormalize(guess.astype(jnp.float32))
+    ns = src.points.shape[0]
     init = (
         x0, jnp.float32(-1.0), jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
         jnp.eye(6, dtype=jnp.float32), jnp.float32(0.0), jnp.int32(0),
+        jnp.full((ns,), -1, jnp.int32),
     )
-    x_fin, _, iters, converged, failed, h_fin, err_fin, nc_fin = jax.lax.while_loop(
-        outer_cond, outer_body, init
-    )
+    (x_fin, _, iters, converged, failed, h_fin, err_fin, nc_fin,
+     _) = jax.lax.while_loop(outer_cond, outer_body, init)
     return GicpResult(
         transform=x_fin,
         hessian=h_fin,

@@ -93,6 +93,39 @@ def test_fused_matches_unfused_linearize(seed):
                                rtol=2e-4)
 
 
+def test_seeded_linearize_matches_cold():
+    """Warm-started branch-and-bound must return exactly the cold result:
+    the seed only tightens the initial bound. Seed with correspondences
+    from a DIFFERENT transform so the seeded distances are wrong-but-valid
+    upper bounds, the adversarial case."""
+    rng = np.random.default_rng(5)
+    source, target = _make_problem(rng)
+    cfg = load_config().gicp.s2m
+    x_a = se3.se3_exp(jnp.asarray([0.002, -0.001, 0.002, 0.03, -0.02, 0.01],
+                                  jnp.float32))
+    x_b = se3.se3_exp(jnp.asarray([-0.003, 0.002, 0.001, -0.04, 0.05, 0.02],
+                                  jnp.float32))
+    lin_a = gicp._linearize(x_a, source, target, cfg, 32, "pallas")
+    cold = gicp._linearize(x_b, source, target, cfg, 32, "pallas")
+    seeded = gicp._linearize(x_b, source, target, cfg, 32, "pallas",
+                             seed_corr=lin_a.corr)
+    np.testing.assert_array_equal(np.asarray(seeded.corr),
+                                  np.asarray(cold.corr))
+    np.testing.assert_array_equal(np.asarray(seeded.weight),
+                                  np.asarray(cold.weight))
+    np.testing.assert_allclose(np.asarray(seeded.h), np.asarray(cold.h),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(float(seeded.error), float(cold.error),
+                               rtol=1e-5)
+    # all -1 seeds == cold exactly (the align loop's first iteration)
+    none_seeded = gicp._linearize(
+        x_b, source, target, cfg, 32, "pallas",
+        seed_corr=jnp.full((source.points.shape[0],), -1, jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(none_seeded.corr),
+                                  np.asarray(cold.corr))
+
+
 def test_compute_error_matches_direct():
     """_compute_error's columnwise Mahalanobis == explicit 3x3 math."""
     rng = np.random.default_rng(1)

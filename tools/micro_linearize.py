@@ -65,9 +65,18 @@ def main() -> None:
     unfused_fn = jax.jit(
         lambda x: gicp._linearize(x, src, tgt, cfg.gicp.s2m, 32, "pallas_unfused")
     )
+    seeded_fn = jax.jit(
+        lambda x, c: gicp._linearize(x, src, tgt, cfg.gicp.s2m, 32, "pallas",
+                                     seed_corr=c)
+    )
+    corr0 = fused_fn(x0).corr
+    # perturb like one GICP iteration's delta (mm-scale)
+    x1 = jnp.asarray(np.asarray(x0).copy())
+    x1 = x1.at[0, 3].add(0.004).at[1, 3].add(-0.003)
 
     print(f"NN kernel alone          {timeit(nn_fn, sp):8.3f} ms")
-    print(f"_linearize fused         {timeit(fused_fn, x0):8.3f} ms")
+    print(f"_linearize fused cold    {timeit(fused_fn, x0):8.3f} ms")
+    print(f"_linearize fused seeded  {timeit(seeded_fn, x1, corr0):8.3f} ms")
     print(f"_linearize unfused       {timeit(unfused_fn, x0):8.3f} ms")
 
 
