@@ -107,6 +107,108 @@ def make_world(
     return SyntheticWorld(surface_points=surface_points, poses=poses, stamps=stamps)
 
 
+def make_loop_world(
+    rng: np.random.Generator,
+    n_frames: int = 500,
+    speed: float = 0.4,
+    dt: float = 0.1,
+    z_amplitude: float = 1.0,
+    n_loops: float = 1.0,
+    density: float = 6.0,
+    ground_density: float = 9.0,
+) -> SyntheticWorld:
+    """Closed-loop trajectory with elevation — the hard validation world.
+
+    The sensor travels a circle of circumference ``speed * n_frames /
+    n_loops`` (heading tangent to it, like a vehicle) while bobbing
+    ``z_amplitude`` metres sinusoidally — exercising loop closure, z
+    drift, and pitch-free elevation change over arbitrarily long
+    sequences. The world (ground plane + boxes) is sized to the loop so
+    500+ frame runs never exit the populated region (the failure mode of
+    :func:`make_world`'s wandering trajectory past ``extent``).
+    Surface density matches :func:`make_world`'s tuned test settings
+    (~0.3 m sampling) so scan matching stays in the ICP basin.
+    """
+    radius = speed * n_frames / n_loops / (2 * np.pi)
+    extent = radius + 16.0  # loop + scan range margin
+    ground_points = int(ground_density * (2 * extent) ** 2)  # pts per m^2
+    # boxes scattered in an annulus around the loop path so every frame
+    # sees vertical structure (pure ground is yaw-unobservable)
+    n_boxes = max(8, int(radius * 1.5))
+    surf = [
+        np.stack(
+            [
+                rng.uniform(-extent, extent, size=ground_points),
+                rng.uniform(-extent, extent, size=ground_points),
+                np.zeros(ground_points),
+            ],
+            axis=1,
+        )
+    ]
+    for k in range(n_boxes):
+        a = 2 * np.pi * k / n_boxes + rng.uniform(-0.2, 0.2)
+        rr = radius + rng.uniform(-8.0, 8.0)
+        center = [rr * np.cos(a), rr * np.sin(a), rng.uniform(1.0, 4.0)]
+        size = rng.uniform(1.0, 8.0, size=3)
+        surf.append(_box_surface(rng, center, size, density))
+    surface_points = np.concatenate(surf, axis=0).astype(np.float32)
+
+    poses = np.zeros((n_frames, 4, 4))
+    stamps = np.arange(n_frames) * dt
+    for t in range(n_frames):
+        a = 2 * np.pi * n_loops * t / n_frames
+        c, s = np.cos(a + np.pi / 2), np.sin(a + np.pi / 2)  # tangent heading
+        poses[t] = np.eye(4)
+        poses[t, :3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        poses[t, :3, 3] = [
+            radius * np.cos(a),
+            radius * np.sin(a),
+            1.5 + z_amplitude * np.sin(2 * a),
+        ]
+    return SyntheticWorld(
+        surface_points=surface_points, poses=poses, stamps=stamps
+    )
+
+
+def dump_kitti(
+    world: SyntheticWorld,
+    root: str,
+    sequence: str = "00",
+    rng: np.random.Generator | None = None,
+    max_range: float = 13.0,
+    max_points: int = 8192,
+) -> str:
+    """Write a synthetic world as a KITTI odometry sequence directory.
+
+    Produces ``root/sequences/<seq>/velodyne/NNNNNN.bin`` (float32 xyzi
+    rows — intensity synthesized as 1/range, a crude lambertian),
+    ``times.txt``, and ``root/poses/<seq>.txt``, the exact layout
+    :func:`direct_lidar_odometry_tpu.io.kitti.load_sequence` (and the
+    native C++ feeder) reads — so the full CLI ``--kitti`` path is
+    testable without the (zero-egress) real dataset. Returns ``root``.
+    """
+    import os
+
+    rng = rng or np.random.default_rng(0)
+    vdir = os.path.join(root, "sequences", sequence, "velodyne")
+    os.makedirs(vdir, exist_ok=True)
+    os.makedirs(os.path.join(root, "poses"), exist_ok=True)
+    n = len(world.poses)
+    for t in range(n):
+        xyz = render_scan(world, t, rng, max_range=max_range,
+                          max_points=max_points)
+        r = np.maximum(np.linalg.norm(xyz, axis=1), 1.0)
+        xyzi = np.concatenate([xyz, (1.0 / r)[:, None]], axis=1)
+        xyzi.astype(np.float32).tofile(
+            os.path.join(vdir, f"{t:06d}.bin")
+        )
+    np.savetxt(os.path.join(root, "sequences", sequence, "times.txt"),
+               world.stamps, fmt="%.6f")
+    np.savetxt(os.path.join(root, "poses", f"{sequence}.txt"),
+               world.poses[:, :3, :4].reshape(n, 12), fmt="%.9f")
+    return root
+
+
 def render_scan(
     world: SyntheticWorld,
     frame: int,
