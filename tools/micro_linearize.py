@@ -61,12 +61,12 @@ def main() -> None:
     radius = cfg.gicp.s2m.max_correspondence_distance
 
     nn_fn = jax.jit(lambda q: pallas_nn.query_1nn_sorted(tp, tm, lo, hi, q, sm, radius))
-    fused_fn = jax.jit(lambda x: gicp._linearize(x, src, tgt, cfg.gicp.s2m, 32, "pallas"))
+    fused_fn = jax.jit(lambda x: gicp._linearize(x, src, tgt, cfg.gicp.s2m, 32, "pallas_fused"))
     unfused_fn = jax.jit(
-        lambda x: gicp._linearize(x, src, tgt, cfg.gicp.s2m, 32, "pallas_unfused")
+        lambda x: gicp._linearize(x, src, tgt, cfg.gicp.s2m, 32, "pallas")
     )
     seeded_fn = jax.jit(
-        lambda x, c: gicp._linearize(x, src, tgt, cfg.gicp.s2m, 32, "pallas",
+        lambda x, c: gicp._linearize(x, src, tgt, cfg.gicp.s2m, 32, "pallas_fused",
                                      seed_corr=c)
     )
     corr0 = fused_fn(x0).corr
