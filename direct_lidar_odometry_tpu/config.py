@@ -112,6 +112,14 @@ class GicpConfig:
             k_correspondences=20, max_correspondence_distance=0.5
         )
     )
+    # S2S coarse stride: run scan-to-scan on every k-th point of the
+    # Morton-sorted scan (a spatially uniform subsample by construction).
+    # S2S only produces the initial guess for S2M (odom.cc:812-847 — the
+    # published pose always comes from S2M), so a coarse prior costs no
+    # end accuracy (ATE-gated in tests and bench) while cutting the S2S
+    # align ~stride x. 1 = full resolution (reference behavior).
+    # n_scan // stride must stay a multiple of 512.
+    s2s_coarse_stride: int = 4
 
 
 @dataclass(frozen=True)

@@ -71,8 +71,19 @@ class QuantizedScan(NamedTuple):
 
 
 def quantize_for_transfer(points: np.ndarray, capacity: int) -> QuantizedScan:
-    """Host side: encode an [M, 3] scan into the uint16 wire format."""
+    """Host side: encode an [M, 3] scan into the uint16 wire format.
+
+    Uses the threaded C++ encoder when cpp/libdlo_host.so is built (the
+    numpy encode measured ~12 ms at 131k points on the reference host —
+    enough to make host prep the throughput ceiling); numpy fallback
+    otherwise.
+    """
+    from direct_lidar_odometry_tpu.io import native
+
     points = np.asarray(points, dtype=np.float32)
+    if native.available():
+        q, lo, scale, m = native.quantize(points, capacity)
+        return QuantizedScan(q=q, lo=lo, scale=scale, count=m)
     m = min(points.shape[0], capacity)
     pts = points[:m]
     if m > 0:

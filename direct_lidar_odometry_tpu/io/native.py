@@ -43,6 +43,11 @@ def _load():
     lib.dlo_preprocess.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
         ctypes.c_float, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.dlo_quantize.restype = ctypes.c_int64
+    lib.dlo_quantize.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float)]
     lib.dlo_feeder_create.restype = ctypes.c_void_p
     lib.dlo_feeder_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
@@ -87,6 +92,27 @@ def preprocess(
         _fptr(out), out_cap,
     )
     return out[:n].copy()
+
+
+def quantize(points: np.ndarray, capacity: int):
+    """uint16 wire-format encode (see core/cloud.py QuantizedScan).
+
+    Threaded C++, releases the GIL — ~10x the numpy encode on this host,
+    and overlappable with device dispatch from a Python thread. Returns
+    (q [capacity,3] u16, lo [3] f32, scale [3] f32, count int32).
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable (make -C cpp)"
+    pts = np.ascontiguousarray(points[:, :3], np.float32)
+    q = np.empty((capacity, 3), np.uint16)
+    lo = np.empty(3, np.float32)
+    scale = np.empty(3, np.float32)
+    m = lib.dlo_quantize(
+        _fptr(pts), len(pts), capacity,
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        _fptr(lo), _fptr(scale),
+    )
+    return q, lo, scale, np.int32(m)
 
 
 class ScanFeeder:

@@ -27,6 +27,12 @@ from __future__ import annotations
 
 import numpy as np
 
+# import at module load, NOT inside the hull functions: a lazy first-use
+# import of scipy.spatial costs ~150 ms on a weak host and lands exactly
+# when the first submap hull is rebuilt mid-sequence, stalling the
+# otherwise-async dispatch pipeline for a whole chunk
+from scipy.spatial import ConvexHull, Delaunay, QhullError
+
 
 def convex_membership_host(positions: np.ndarray) -> np.ndarray:
     """[K, 3] -> [K] bool, exact convex-hull vertex membership.
@@ -38,8 +44,6 @@ def convex_membership_host(positions: np.ndarray) -> np.ndarray:
     out = np.zeros((k,), bool)
     if k < 4:
         return out
-    from scipy.spatial import ConvexHull, QhullError
-
     try:
         hull = ConvexHull(positions, qhull_options="QJ")
         out[hull.vertices] = True
@@ -78,8 +82,6 @@ def concave_membership_host(positions: np.ndarray, alpha: float) -> np.ndarray:
     out = np.zeros((k,), bool)
     if k < 5:
         return out
-    from scipy.spatial import Delaunay, QhullError
-
     # PCL's ConcaveHull detects the input's effective dimension by PCA and
     # reconstructs planar clouds in 2D (pcl/surface/concave_hull
     # performReconstruction) — 3D alpha shapes of near-planar sets are

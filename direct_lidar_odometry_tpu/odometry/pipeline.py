@@ -160,9 +160,26 @@ def odom_frame(
     )
 
     # --- S2S: current scan against previous scan (odom.cc:801-809) ---
+    # S2S runs at 1/stride resolution: striding the Morton-sorted cloud is
+    # a spatially uniform subsample, and S2S output is only the initial
+    # guess for S2M (see GicpConfig.s2s_coarse_stride).
+    cs = max(1, int(cfg.gicp.s2s_coarse_stride))
+    while cs > 1 and (shapes.n_scan // cs) % 512 != 0:
+        cs -= 1  # degrade to the nearest stride that keeps chunk alignment
+    if cs > 1:
+        s2s_src = gicp.GicpSource(
+            points=scan.points[::cs], mask=scan.mask[::cs],
+            normals=nrm.normals[::cs], normals_valid=nrm.valid[::cs],
+        )
+        prev_pts, prev_msk = state.prev_points[::cs], state.prev_mask[::cs]
+        prev_nrm, prev_nv = (state.prev_normals[::cs],
+                             state.prev_normals_valid[::cs])
+    else:
+        s2s_src = src
+        prev_pts, prev_msk = state.prev_points, state.prev_mask
+        prev_nrm, prev_nv = state.prev_normals, state.prev_normals_valid
     s2s_target = gicp.make_target(
-        state.prev_points, state.prev_mask,
-        state.prev_normals, state.prev_normals_valid,
+        prev_pts, prev_msk, prev_nrm, prev_nv,
         cfg.gicp.s2s.max_correspondence_distance, shapes.grid_table_size,
         backend=backend,
     )
@@ -177,7 +194,7 @@ def odom_frame(
             guess = state.last_delta
     else:
         guess = imu_prior  # reference behavior (odom.cc:801-806)
-    s2s_res = gicp.align(src, s2s_target, guess, cfg.gicp.s2s,
+    s2s_res = gicp.align(s2s_src, s2s_target, guess, cfg.gicp.s2s,
                          cap=shapes.cell_cap_1nn, backend=backend)
 
     # --- propagate S2S into the global frame (odom.cc:812, 926-943) ---

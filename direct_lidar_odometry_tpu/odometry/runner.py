@@ -157,7 +157,35 @@ class OdometryRunner:
                 self.maybe_refine()
         return result
 
-    def process_chunk(self, scans, stamps) -> FrameResult:
+    def prepare_chunk(self, scans) -> tuple:
+        """Host-side wire-format encode of a chunk of scans (stacked).
+
+        Separated from :meth:`process_chunk` so callers can run it in a
+        background thread for the NEXT chunk while the device computes the
+        current one — the encode is numpy / GIL-releasing C++
+        (native.quantize), so it genuinely overlaps. At 131k-point scans
+        the encode costs ~4-9 ms/scan on a weak host, which otherwise
+        serializes with dispatch and caps throughput.
+        """
+        cfg = self.cfg
+        if cfg.quantize_transfer:
+            qs = [cl.quantize_for_transfer(s[:, :3], cfg.shapes.n_raw) for s in scans]
+            return (
+                np.stack([x.q for x in qs]),
+                np.stack([x.lo for x in qs]),
+                np.stack([x.scale for x in qs]),
+                np.stack([x.count for x in qs]),
+            )
+        k = len(scans)
+        pts = np.full((k, cfg.shapes.n_raw, 3), cl.PAD_VALUE, np.float32)
+        mask = np.zeros((k, cfg.shapes.n_raw), bool)
+        for i, s in enumerate(scans):
+            m = min(len(s), cfg.shapes.n_raw)
+            pts[i, :m] = s[:m, :3]
+            mask[i, :m] = True
+        return (pts, mask)
+
+    def process_chunk(self, scans, stamps, prepared: tuple | None = None) -> FrameResult:
         """K frames in ONE device dispatch (offline/throughput path).
 
         Requires an initialized state (feed the first frames through
@@ -165,7 +193,9 @@ class OdometryRunner:
         ``min_num_points`` must be filtered by the caller. Returns the
         stacked FrameResult; poses/stamps bookkeeping matches per-frame
         stepping. The dispatch is async like ``process_scan`` — touch any
-        result field to synchronize.
+        result field to synchronize. ``prepared``: pre-encoded host arrays
+        from :meth:`prepare_chunk` (same scans), typically produced in a
+        background thread.
         """
         assert self.state is not None, "initialize with process_scan first"
         cfg = self.cfg
@@ -183,22 +213,7 @@ class OdometryRunner:
                 )
                 prev = stamp
 
-        if cfg.quantize_transfer:
-            qs = [cl.quantize_for_transfer(s[:, :3], cfg.shapes.n_raw) for s in scans]
-            stacked = (
-                np.stack([x.q for x in qs]),
-                np.stack([x.lo for x in qs]),
-                np.stack([x.scale for x in qs]),
-                np.stack([x.count for x in qs]),
-            )
-        else:
-            pts = np.full((k, cfg.shapes.n_raw, 3), cl.PAD_VALUE, np.float32)
-            mask = np.zeros((k, cfg.shapes.n_raw), bool)
-            for i, s in enumerate(scans):
-                m = min(len(s), cfg.shapes.n_raw)
-                pts[i, :m] = s[:m, :3]
-                mask[i, :m] = True
-            stacked = (pts, mask)
+        stacked = prepared if prepared is not None else self.prepare_chunk(scans)
 
         if self._chunk_fn is None:
             self._chunk_fn = pipeline.make_chunked_step_fn(cfg)
