@@ -1,0 +1,100 @@
+"""Long-sequence validation: 500-frame closed loop with elevation.
+
+The tuned CI worlds cover 25-93 frames; this exercises the regimes that
+only appear at length — keyframe-ring saturation/eviction, submap
+re-selection on revisit, loop-closure + pose-graph refinement, drift
+accumulation — and reports ATE with and without refinement.
+
+Run on TPU (production shapes):   python tools/long_validation.py
+Quick CPU check (small shapes):   SMALL=1 LV_FRAMES=120 JAX_PLATFORMS=cpu \
+                                      python tools/long_validation.py
+Prints one JSON line per configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from direct_lidar_odometry_tpu.config import DloConfig, ShapeConfig
+    from direct_lidar_odometry_tpu.io import evaluation, synthetic
+    from direct_lidar_odometry_tpu.odometry.runner import OdometryRunner
+
+    small = bool(int(os.environ.get("SMALL", "0")))
+    n_frames = int(os.environ.get("LV_FRAMES", "500"))
+    base = DloConfig().replace(s2s_prior="constant_velocity")
+    if small:
+        base = base.replace(
+            shapes=ShapeConfig(
+                n_raw=8192, n_scan=8192, n_keyframe=8192, max_keyframes=24,
+                max_submap_kf=8, imu_window=64, grid_table_size=2 ** 14,
+                submap_table_size=2 ** 15, cell_cap_1nn=16, cell_cap_knn=48,
+                knn_query_chunk=2048, hull_directions=32,
+            ),
+        )
+        max_range, max_pts, speed = 13.0, 8192, 0.4
+    else:
+        max_range, max_pts, speed = 40.0, base.shapes.n_raw, 1.0
+
+    rng = np.random.default_rng(11)
+    world = synthetic.make_loop_world(
+        rng, n_frames=n_frames, speed=speed, z_amplitude=1.5,
+        density=25.0 if not small else 6.0,
+        ground_density=25.0 if not small else 9.0,
+    )
+    scans = None  # rendered lazily per frame: a 500-frame production world
+    # does not fit pre-rendered in host RAM comfortably
+
+    for use_pg in (False, True):
+        cfg = dataclasses.replace(
+            base,
+            posegraph=dataclasses.replace(
+                base.posegraph, use=use_pg, min_index_gap=20,
+                loop_radius=6.0, check_every=64,
+            ),
+        )
+        runner = OdometryRunner(cfg)
+        srng = np.random.default_rng(3)
+        t0 = time.perf_counter()
+        for t in range(n_frames):
+            scan = synthetic.render_scan(
+                world, t, srng, max_range=max_range, max_points=max_pts
+            )
+            runner.process_scan(scan, float(world.stamps[t]))
+        if use_pg:
+            runner.maybe_refine(force=True)
+        est = runner.trajectory()
+        gt = np.linalg.inv(world.poses[0])[None] @ world.poses[: len(est)]
+        ate = evaluation.ate(est, gt, align=False)
+        path = float(np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=-1)))
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "frames": n_frames,
+            "posegraph": use_pg,
+            "ate_rmse_m": round(float(ate.rmse), 4),
+            "ate_max_m": round(float(ate.max), 4),
+            "drift_pct": round(100.0 * float(ate.rmse) / max(path, 1e-9), 3),
+            "path_m": round(path, 1),
+            "keyframes": runner.num_keyframes(),
+            "evictions": int(sum(
+                1 for s in runner.stats
+                if s.result is not None and bool(s.result.kf_evicted)
+            )),
+            "refine_rounds": len(runner.refine_log) if use_pg else 0,
+            "loop_edges": sum(e["n_accepted"] for e in runner.refine_log)
+            if use_pg else 0,
+            "wall_s": round(wall, 1),
+        }))
+
+
+if __name__ == "__main__":
+    main()
