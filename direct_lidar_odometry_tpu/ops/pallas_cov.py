@@ -165,7 +165,39 @@ def _pruned_moments_batched(
     points, mask, chunk_lo, chunk_hi, queries, query_mask,
     radius: float, interpret: bool,
 ):
-    """Batched pruned radius moments. All inputs carry a leading [B] axis."""
+    """Batched pruned radius moments. All inputs carry a leading [B] axis.
+
+    Splits the batch across pallas calls when the SMEM candidate tables
+    would overflow the 1 MB budget (see pallas_nn._smem_subbatch)."""
+    from direct_lidar_odometry_tpu.ops import pallas_nn
+
+    b_total = points.shape[0]
+    qc = queries.shape[1] // _BQ
+    n_c = chunk_lo.shape[-1]
+    bs = pallas_nn._smem_subbatch(b_total, qc, n_c)
+    if bs < b_total:
+        return jnp.concatenate(
+            [
+                _pruned_moments_one(
+                    points[i : i + bs], mask[i : i + bs],
+                    chunk_lo[i : i + bs], chunk_hi[i : i + bs],
+                    queries[i : i + bs], query_mask[i : i + bs],
+                    radius, interpret,
+                )
+                for i in range(0, b_total, bs)
+            ],
+            axis=0,
+        )
+    return _pruned_moments_one(
+        points, mask, chunk_lo, chunk_hi, queries, query_mask,
+        radius, interpret,
+    )
+
+
+def _pruned_moments_one(
+    points, mask, chunk_lo, chunk_hi, queries, query_mask,
+    radius: float, interpret: bool,
+):
     from direct_lidar_odometry_tpu.ops import morton, pallas_nn
 
     b_total, t_total = points.shape[0], points.shape[1]

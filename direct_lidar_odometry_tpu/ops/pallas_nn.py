@@ -272,11 +272,52 @@ def _nn1_pruned_kernel(
     idx_ref[0, 0, :] = best_idx
 
 
+# SMEM budget for the per-tile candidate tables ([B*Qc, C] int32 + counts).
+# The hardware cap is 1 MB and the pallas pipeline DOUBLE-BUFFERS SMEM
+# inputs (measured: a 532 KB table compiles to a 1.01 MB smem program), so
+# the per-call budget is under half the cap; the batch axis splits across
+# pallas calls when a single grid would overflow (production shapes at
+# B >= 8: 8 * 256 tiles * 65 words * 4 B = 0.53 MB -> 1.06 MB buffered).
+_SMEM_BUDGET_BYTES = 450_000
+
+
+def _smem_subbatch(b_total: int, qc: int, n_c: int) -> int:
+    per_b = qc * (n_c + 1) * 4
+    return max(1, min(b_total, _SMEM_BUDGET_BYTES // max(per_b, 1)))
+
+
 def _pruned_1nn_batched(
     target_points, target_mask, chunk_lo, chunk_hi, queries, query_mask,
     radius: float, interpret: bool,
 ):
     """Batched pruned search. All inputs carry a leading [B] axis."""
+    b_total = target_points.shape[0]
+    qc = queries.shape[1] // _BQ
+    n_c = chunk_lo.shape[-1]
+    bs = _smem_subbatch(b_total, qc, n_c)
+    if bs < b_total:
+        parts = [
+            _pruned_1nn_one(
+                target_points[i : i + bs], target_mask[i : i + bs],
+                chunk_lo[i : i + bs], chunk_hi[i : i + bs],
+                queries[i : i + bs], query_mask[i : i + bs],
+                radius, interpret,
+            )
+            for i in range(0, b_total, bs)
+        ]
+        return tuple(
+            jnp.concatenate([p[k] for p in parts], axis=0) for k in range(3)
+        )
+    return _pruned_1nn_one(
+        target_points, target_mask, chunk_lo, chunk_hi, queries, query_mask,
+        radius, interpret,
+    )
+
+
+def _pruned_1nn_one(
+    target_points, target_mask, chunk_lo, chunk_hi, queries, query_mask,
+    radius: float, interpret: bool,
+):
     from direct_lidar_odometry_tpu.ops import morton
 
     b_total, t_total = target_points.shape[0], target_points.shape[1]
