@@ -138,6 +138,9 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=8,
                     help="frames per device dispatch in the steady loop "
                          "(lax.scan chunking; 1 = per-frame dispatch)")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                    help="dotted config override for A/B runs, e.g. "
+                         "gicp.s2s.optimizer=gn (same syntax as the CLI)")
     args = ap.parse_args()
 
     if args.cpu:

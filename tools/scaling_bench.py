@@ -79,6 +79,11 @@ def main() -> None:
 
     results = []
     sizes = [n for n in (1, 2, 4, 8) if n <= n_avail]
+    if os.environ.get("SCALING_SIZES"):
+        # e.g. SCALING_SIZES=2 taskset -c 0,1 python tools/scaling_bench.py
+        # — pin device count to physical cores for apples-to-apples
+        # efficiency on a host with fewer cores than virtual devices
+        sizes = [int(s) for s in os.environ["SCALING_SIZES"].split(",")]
     for n in sizes:
         b = per_device * n
         mesh = sharded.make_mesh(n)
