@@ -52,6 +52,15 @@ def preprocess_scan(
     crop = cfg.preprocessing.crop.size if cfg.preprocessing.crop.use else None
     c = prep.preprocess(PointCloud(points=raw_points, mask=raw_mask), crop)
     if cfg.preprocessing.voxel_scan.use:
+        if gicp.is_pallas(backend):
+            # ONE sort does voxel grouping AND the Z-ordering the pruned
+            # Pallas kernels need (rigid transforms preserve the locality,
+            # so it serves every GICP iteration and next frame's S2S
+            # target) — see voxel.voxel_downsample_morton.
+            return voxel.voxel_downsample_morton(
+                c, cfg.preprocessing.voxel_scan.res,
+                out_capacity=cfg.shapes.n_scan,
+            )
         c = voxel.voxel_downsample(
             c, cfg.preprocessing.voxel_scan.res, out_capacity=cfg.shapes.n_scan
         )
@@ -60,10 +69,6 @@ def preprocess_scan(
         order = jnp.argsort(~c.mask, stable=True)[: cfg.shapes.n_scan]
         c = PointCloud(points=c.points[order], mask=c.mask[order])
     if gicp.is_pallas(backend):
-        # Morton-sort once per scan: the pruned Pallas kernels skip whole
-        # [query-tile x target-chunk] blocks, and rigid transforms preserve
-        # the locality, so this one sort serves every GICP iteration AND
-        # next frame's S2S target (see ops/morton.py).
         zp, zm = morton.sort_cloud(c.points, c.mask)
         c = PointCloud(points=zp, mask=zm)
     return c

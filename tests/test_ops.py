@@ -205,3 +205,47 @@ def test_voxel_overflow_is_spatially_uniform(rng):
     # uniform survival -> kept min/max close to the full extent in every axis
     assert np.all(kept.min(axis=0) < 15.0)
     assert np.all(kept.max(axis=0) > 85.0)
+
+
+def test_voxel_morton_matches_plain_voxel(rng):
+    """The fused voxel+Morton op must produce the same centroid set as the
+    two-pass path (sorting is the only difference when nothing overflows)."""
+    pts = rng.uniform(-20, 20, size=(4096, 3)).astype(np.float32)
+    mask = np.ones(4096, bool)
+    mask[3800:] = False
+    c = cl.PointCloud(jnp.asarray(pts), jnp.asarray(mask))
+    a = cl.to_numpy(voxel.voxel_downsample(c, 0.5, out_capacity=4096))
+    b = cl.to_numpy(voxel.voxel_downsample_morton(c, 0.5, out_capacity=4096))
+    assert len(a) == len(b)
+    np.testing.assert_allclose(
+        a[np.lexsort(a.T)], b[np.lexsort(b.T)], atol=1e-4
+    )
+
+
+def test_voxel_morton_output_is_z_ordered(rng):
+    from direct_lidar_odometry_tpu.ops import morton
+
+    pts = rng.uniform(-20, 20, size=(4096, 3)).astype(np.float32)
+    c = cl.from_numpy(pts, capacity=4096)
+    out = voxel.voxel_downsample_morton(c, 0.5, out_capacity=4096)
+    codes = np.asarray(morton.morton_codes(out.points, out.mask, cell=0.5))
+    vc = codes[np.asarray(out.mask)].astype(np.int64)
+    assert np.all(np.diff(vc) >= 0)
+
+
+def test_voxel_morton_overflow_uniform_and_exact_cap(rng):
+    pts = rng.uniform(0, 100, size=(16384, 3)).astype(np.float32)
+    out = voxel.voxel_downsample_morton(
+        cl.from_numpy(pts, 16384), res=0.5, out_capacity=512
+    )
+    kept = cl.to_numpy(out)
+    # Bresenham subsample keeps exactly `cap` segments when S > cap
+    assert len(kept) == 512
+    # spatially uniform: all octants populated within ~30% of each other
+    oct_ids = (
+        (kept[:, 0] > 50).astype(int) * 4
+        + (kept[:, 1] > 50).astype(int) * 2
+        + (kept[:, 2] > 50).astype(int)
+    )
+    counts = np.bincount(oct_ids, minlength=8)
+    assert counts.min() > 0.6 * counts.max()
