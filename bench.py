@@ -31,6 +31,7 @@ def production_cfg(small: bool = False):
     if small:
         return DloConfig().replace(
             s2s_prior="constant_velocity",
+            host_preprocess=True,
             shapes=ShapeConfig(
                 n_raw=8192, n_scan=8192, n_keyframe=8192, max_keyframes=64,
                 max_submap_kf=8, imu_window=64, grid_table_size=2 ** 14,
@@ -38,7 +39,7 @@ def production_cfg(small: bool = False):
                 knn_query_chunk=2048, hull_directions=32,
             )
         )
-    return DloConfig().replace(s2s_prior="constant_velocity")
+    return DloConfig().replace(s2s_prior="constant_velocity", host_preprocess=True)
 
 
 def make_bench_world(n_frames: int, rng: np.random.Generator, small: bool):
@@ -147,6 +148,21 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.set:
+        from direct_lidar_odometry_tpu import config as config_mod
+        from direct_lidar_odometry_tpu.cli import _parse_override
+
+        base = production_cfg
+        overrides = dict(_parse_override(s) for s in args.set)
+
+        def production_cfg_with_overrides(small=False, _base=base):
+            cfg = _base(small)
+            for dotted, value in overrides.items():
+                cfg = config_mod._override(cfg, dotted.split("."), value)
+            return cfg
+
+        globals()["production_cfg"] = production_cfg_with_overrides
 
     if args.batch:
         run_batched(args)

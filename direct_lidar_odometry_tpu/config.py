@@ -235,6 +235,12 @@ class DloConfig:
     # 2.2x less PCIe/ICI traffic). Framework addition — the reference is
     # single-process and never serializes the raw scan.
     quantize_transfer: bool = True
+    # Run NaN/crop/voxel/Morton preprocessing on the HOST (C++/numpy, in
+    # the prep worker thread that overlaps device compute) instead of on
+    # the device: the device step then starts from <= n_scan Z-ordered
+    # voxel centroids — no 131k-point device sort, ~4x less wire traffic.
+    # Framework addition; semantics match the device path (io/hostprep.py).
+    host_preprocess: bool = False
     adaptive: AdaptiveConfig = field(default_factory=AdaptiveConfig)
     gravity_align: bool = False  # cfg/dlo.yaml:17 (needs IMU)
     initial_pose: InitialPoseConfig = field(default_factory=InitialPoseConfig)

@@ -43,6 +43,10 @@ def _load():
     lib.dlo_preprocess.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
         ctypes.c_float, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.dlo_preprocess_morton.restype = ctypes.c_int64
+    lib.dlo_preprocess_morton.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
     lib.dlo_quantize.restype = ctypes.c_int64
     lib.dlo_quantize.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
@@ -88,6 +92,27 @@ def preprocess(
     pts = np.ascontiguousarray(points[:, :3], np.float32)
     out = np.empty((out_cap, 3), np.float32)
     n = lib.dlo_preprocess(
+        _fptr(pts), len(pts), ctypes.c_float(crop_size), ctypes.c_float(res),
+        _fptr(out), out_cap,
+    )
+    return out[:n].copy()
+
+
+def preprocess_morton(
+    points: np.ndarray, crop_size: float, res: float, out_cap: int
+) -> np.ndarray:
+    """NaN + inverse-crop + centroid voxel filter, Z-ordered output.
+
+    Host-side twin of ``ops.voxel.voxel_downsample_morton`` (same voxel
+    grouping, same Morton order, same Bresenham overflow policy) so the
+    device step can skip preprocessing entirely — see
+    ``DloConfig.host_preprocess``.
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable (make -C cpp)"
+    pts = np.ascontiguousarray(points[:, :3], np.float32)
+    out = np.empty((out_cap, 3), np.float32)
+    n = lib.dlo_preprocess_morton(
         _fptr(pts), len(pts), ctypes.c_float(crop_size), ctypes.c_float(res),
         _fptr(out), out_cap,
     )

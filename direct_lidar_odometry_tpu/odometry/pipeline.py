@@ -49,6 +49,11 @@ def preprocess_scan(
     Reference ``preprocessPoints`` (``odom.cc:443-465``). The pallas
     backend additionally Z-orders the result (see below).
     """
+    if cfg.host_preprocess:
+        # the host already ran NaN/crop/voxel and emitted Z-ordered voxel
+        # centroids (io/hostprep.py — same semantics as the device path
+        # below); invalid slots were padded by dequantize/from_numpy
+        return PointCloud(points=raw_points, mask=raw_mask)
     crop = cfg.preprocessing.crop.size if cfg.preprocessing.crop.use else None
     c = prep.preprocess(PointCloud(points=raw_points, mask=raw_mask), crop)
     if cfg.preprocessing.voxel_scan.use:

@@ -33,6 +33,10 @@ class OdometryRunner:
     """Drive one LiDAR (+IMU) sequence through the jitted pipeline."""
 
     def __init__(self, cfg: DloConfig):
+        if cfg.host_preprocess and not cfg.preprocessing.voxel_scan.use:
+            # host preprocessing exists to move the voxel+Morton sort off
+            # the device; without voxelization there is nothing to move
+            cfg = cfg.replace(host_preprocess=False)
         self.cfg = cfg
         if cfg.quantize_transfer:
             self.init_fn, self.step_fn = pipeline.make_quantized_step_fns(cfg)
@@ -105,12 +109,7 @@ class OdometryRunner:
             # (odom.cc:589-591)
             return None
 
-        if cfg.quantize_transfer:
-            qs = cl.quantize_for_transfer(points[:, :3], cfg.shapes.n_raw)
-            scan_args = (qs.q, qs.lo, qs.scale, qs.count)
-        else:
-            raw = cl.from_numpy(points[:, :3], cfg.shapes.n_raw)
-            scan_args = (raw.points, raw.mask)
+        scan_args = self._encode_scan(points)
 
         if self.state is None:
             state = pipeline.fresh_state(cfg, self._initial_pose())
@@ -157,6 +156,35 @@ class OdometryRunner:
                 self.maybe_refine()
         return result
 
+    def _wire_capacity(self) -> int:
+        """Points per scan on the wire: host preprocessing shrinks the
+        transfer from the raw capacity to the voxel capacity (~4x)."""
+        cfg = self.cfg
+        return cfg.shapes.n_scan if cfg.host_preprocess else cfg.shapes.n_raw
+
+    def _prep_points(self, points: np.ndarray) -> np.ndarray:
+        """Host-side preprocessing when enabled (io/hostprep.py): the
+        device step then skips NaN/crop/voxel/Morton entirely."""
+        cfg = self.cfg
+        if not cfg.host_preprocess:
+            return points
+        from direct_lidar_odometry_tpu.io import hostprep
+
+        crop = cfg.preprocessing.crop.size if cfg.preprocessing.crop.use else None
+        return hostprep.preprocess_morton(
+            points, crop, cfg.preprocessing.voxel_scan.res, cfg.shapes.n_scan
+        )
+
+    def _encode_scan(self, points: np.ndarray) -> tuple:
+        cfg = self.cfg
+        pts = self._prep_points(points)
+        cap = self._wire_capacity()
+        if cfg.quantize_transfer:
+            qs = cl.quantize_for_transfer(pts[:, :3], cap)
+            return (qs.q, qs.lo, qs.scale, qs.count)
+        raw = cl.from_numpy(pts[:, :3], cap)
+        return (raw.points, raw.mask)
+
     def prepare_chunk(self, scans) -> tuple:
         """Host-side wire-format encode of a chunk of scans (stacked).
 
@@ -168,8 +196,12 @@ class OdometryRunner:
         serializes with dispatch and caps throughput.
         """
         cfg = self.cfg
+        cap = self._wire_capacity()
         if cfg.quantize_transfer:
-            qs = [cl.quantize_for_transfer(s[:, :3], cfg.shapes.n_raw) for s in scans]
+            qs = [
+                cl.quantize_for_transfer(self._prep_points(s)[:, :3], cap)
+                for s in scans
+            ]
             return (
                 np.stack([x.q for x in qs]),
                 np.stack([x.lo for x in qs]),
@@ -177,11 +209,12 @@ class OdometryRunner:
                 np.stack([x.count for x in qs]),
             )
         k = len(scans)
-        pts = np.full((k, cfg.shapes.n_raw, 3), cl.PAD_VALUE, np.float32)
-        mask = np.zeros((k, cfg.shapes.n_raw), bool)
+        pts = np.full((k, cap, 3), cl.PAD_VALUE, np.float32)
+        mask = np.zeros((k, cap), bool)
         for i, s in enumerate(scans):
-            m = min(len(s), cfg.shapes.n_raw)
-            pts[i, :m] = s[:m, :3]
+            p = self._prep_points(s)
+            m = min(len(p), cap)
+            pts[i, :m] = p[:m, :3]
             mask[i, :m] = True
         return (pts, mask)
 

@@ -35,11 +35,17 @@ def make_batched_fns(cfg: DloConfig) -> tuple[Callable, Callable]:
     init_fn(states[B], raw_points[B,N,3], raw_mask[B,N]) -> states
     step_fn(states, raw_points, raw_mask, imu_priors[B,4,4])
         -> (states, FrameResult[B])
+
+    Callers feed RAW scans, so host preprocessing (a single-sequence
+    runner optimization) is force-disabled here: with it left on, the
+    pipeline would skip device preprocessing and register unvoxelized
+    clouds.
     """
     from direct_lidar_odometry_tpu.config import resolve_backend
 
     from direct_lidar_odometry_tpu.utils.precision import f32_matmuls
 
+    cfg = cfg.replace(host_preprocess=False)
     backend = resolve_backend(cfg)
     directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
     init = jax.vmap(partial(pipeline.init_frame, cfg, backend))

@@ -85,6 +85,9 @@ def make_sharded_step(cfg: DloConfig, mesh: Mesh, axis: str = "seq") -> Callable
     """
     from direct_lidar_odometry_tpu.config import resolve_backend
 
+    # raw scans come in over the mesh; host preprocessing is a
+    # single-sequence runner optimization (see parallel/batched.py)
+    cfg = cfg.replace(host_preprocess=False)
     backend = resolve_backend(cfg)
     directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
     local_step = jax.vmap(partial(pipeline.odom_frame, cfg, backend, directions))

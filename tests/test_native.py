@@ -71,3 +71,33 @@ def test_feeder_missing_file(tmp_path, rng):
     with pytest.raises(IOError):
         next(it)
     feeder.close()
+
+
+def test_preprocess_morton_matches_numpy_and_device(rng):
+    """The C++ host preprocessor, the numpy fallback, and the device op
+    (ops/voxel.voxel_downsample_morton) must produce the SAME voxel
+    centroids in the SAME (Morton) order, including the Bresenham
+    overflow subsample."""
+    import jax.numpy as jnp
+
+    from direct_lidar_odometry_tpu.core.cloud import PointCloud
+    from direct_lidar_odometry_tpu.io import hostprep
+    from direct_lidar_odometry_tpu.ops import preprocess as prep, voxel
+
+    pts = rng.uniform(-30, 30, (20000, 3)).astype(np.float32)
+    pts[100:110] = np.nan
+    pts[200:220] *= 0.01  # inside the crop box
+
+    for cap in (32768, 2048):  # no-overflow and overflow
+        a = native.preprocess_morton(pts, 1.0, 0.25, cap)
+        b = hostprep._preprocess_morton_numpy(pts, 1.0, 0.25, cap)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-4)
+        c = prep.preprocess(
+            PointCloud(points=jnp.asarray(pts), mask=jnp.ones(len(pts), bool)),
+            1.0,
+        )
+        d = voxel.voxel_downsample_morton(c, 0.25, out_capacity=cap)
+        dd = np.asarray(d.points)[np.asarray(d.mask)]
+        assert dd.shape == a.shape
+        np.testing.assert_allclose(dd, a, atol=1e-4)

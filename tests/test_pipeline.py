@@ -88,6 +88,16 @@ def test_full_pipeline_tracks_ground_truth(world):
         assert int(s.result.s2m_num_corr) > 500
 
 
+def test_full_pipeline_host_preprocess(world):
+    """host_preprocess=True (voxel+Morton on the host, device skips
+    preprocessing) must track the same world to the same bound."""
+    cfg = tiny_cfg().replace(host_preprocess=True)
+    runner = run_sequence(cfg, world)
+    est = runner.trajectory()
+    res = evaluation.ate(est, gt_relative(world, len(est)), align=False)
+    assert res.rmse < 0.10, f"ATE RMSE {res.rmse:.3f} m"
+
+
 def test_pipeline_spawns_keyframes(world):
     cfg = tiny_cfg()
     runner = run_sequence(cfg, world)
