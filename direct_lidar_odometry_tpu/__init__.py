@@ -25,15 +25,24 @@ def _enable_persistent_compilation_cache() -> None:
     across runs, so the second process start should pay <5 s warmup).
 
     Opt out with DLO_TPU_NO_CACHE=1; relocate with DLO_TPU_CACHE_DIR.
+
+    The directory is scoped by a machine signature (utils/cachedir.py):
+    XLA:CPU AOT blobs are feature-set specific and loading another
+    machine's blobs risks SIGILL (observed as cpu_aot_loader mismatch
+    errors when one home dir is shared across builder/driver hosts).
     """
     if _os.environ.get("DLO_TPU_NO_CACHE"):
         return
     try:
         import jax
 
-        cache_dir = _os.environ.get(
-            "DLO_TPU_CACHE_DIR",
-            _os.path.join(_os.path.expanduser("~"), ".cache", "dlo_tpu_xla"),
+        from direct_lidar_odometry_tpu.utils.cachedir import machine_scoped
+
+        cache_dir = machine_scoped(
+            _os.environ.get(
+                "DLO_TPU_CACHE_DIR",
+                _os.path.join(_os.path.expanduser("~"), ".cache", "dlo_tpu_xla"),
+            )
         )
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache everything that took meaningful compile time, however small

@@ -115,11 +115,14 @@ class GicpConfig:
     # S2S coarse stride: run scan-to-scan on every k-th point of the
     # Morton-sorted scan (a spatially uniform subsample by construction).
     # S2S only produces the initial guess for S2M (odom.cc:812-847 — the
-    # published pose always comes from S2M), so a coarse prior costs no
-    # end accuracy (ATE-gated in tests and bench) while cutting the S2S
-    # align ~stride x. 1 = full resolution (reference behavior).
-    # n_scan // stride must stay a multiple of 512.
-    s2s_coarse_stride: int = 4
+    # published pose always comes from S2M), BUT a coarse S2S guess can
+    # land outside S2M's 0.5 m correspondence basin: at production density
+    # stride=4 was measured to diverge (ATE 3.3 m vs 0.001 m over the
+    # 45-frame bench world, CPU and TPU agree) even though small test
+    # worlds pass. Default is therefore 1 = full resolution (reference
+    # behavior, odom.cc:803-812). Strides > 1 are opt-in for short-horizon
+    # / well-seeded uses only. n_scan // stride must stay a multiple of 512.
+    s2s_coarse_stride: int = 1
 
 
 @dataclass(frozen=True)

@@ -22,8 +22,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: this box has 2 slow vCPUs and compile time
-# otherwise dominates test wall-clock.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+# otherwise dominates test wall-clock. Machine-scoped because XLA:CPU AOT
+# blobs are feature-set specific (utils/cachedir.py).
+from direct_lidar_odometry_tpu.utils.cachedir import machine_scoped
+
+jax.config.update(
+    "jax_compilation_cache_dir", machine_scoped("/root/.cache/jax_test_cache")
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

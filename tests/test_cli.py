@@ -13,7 +13,9 @@ def run_cli(args, tmp_path):
     env["PYTHONPATH"] = "/root/repo"
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
-        "jax.config.update('jax_compilation_cache_dir','/root/.cache/jax_test_cache');"
+        "from direct_lidar_odometry_tpu.utils.cachedir import machine_scoped;"
+        "jax.config.update('jax_compilation_cache_dir',"
+        "machine_scoped('/root/.cache/jax_test_cache'));"
         "jax.config.update('jax_persistent_cache_min_entry_size_bytes',-1);"
         "jax.config.update('jax_persistent_cache_min_compile_time_secs',0.0);"
         "from direct_lidar_odometry_tpu.cli import main;"
