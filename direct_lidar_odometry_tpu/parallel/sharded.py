@@ -39,10 +39,17 @@ def init_distributed(
     global mesh; the sharded step and distributed refine work unchanged
     (collectives ride ICI within a slice, DCN across hosts). Safe to call
     once per process; subsequent calls are ignored.
+
+    Must run before any JAX computation or device query in the process —
+    even ``jax.process_count()`` initializes the backend, after which the
+    distributed runtime can no longer attach (this function therefore
+    checks initialization via ``jax.distributed.is_initialized``, not a
+    device/process query). Exercised for real by
+    tests/test_distributed.py (2 processes, localhost coordinator).
     """
     import jax
 
-    if jax.process_count() > 1:  # already initialized
+    if jax.distributed.is_initialized():  # already initialized
         return
     kw = {}
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
@@ -54,11 +61,32 @@ def init_distributed(
             process_id=process_id
             or int(os.environ.get("JAX_PROCESS_ID", "0")),
         )
+        jax.distributed.initialize(**kw)  # misconfiguration must be loud
+        return
     try:
-        jax.distributed.initialize(**kw)
+        # no coordinator given: TPU-pod auto-detection, or single-process
+        jax.distributed.initialize()
     except (ValueError, RuntimeError):
-        # single-process environment (no coordinator): run locally
+        # single-process environment (nothing to detect): run locally
         pass
+
+
+def barrier(name: str, timeout_s: float = 600.0) -> None:
+    """Align all processes at a named coordination-service barrier.
+
+    Cross-process collectives bootstrap their communicator with a fixed
+    ~30 s key-exchange deadline; if hosts reach the first collective more
+    than that apart (cold compiles skew them), bring-up fails. Call this
+    after AOT-compiling (``fn.lower(...).compile()``) and before the first
+    execution so all hosts enter the collective together. No-op when the
+    distributed runtime is not initialized (single process).
+    """
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:  # single-process: nothing to align
+        return
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "seq") -> Mesh:
