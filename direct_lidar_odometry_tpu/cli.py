@@ -86,7 +86,14 @@ def main(argv=None) -> int:
         n_frames = min(len(seq), args.frames or len(seq))
         gt_poses = seq.poses
 
-        if native.available():
+        if cfg.map.carry_intensity:
+            # PointXYZI parity: feed 4-column scans so the runner's
+            # intensity sidecar can mirror keyframes (map export keeps
+            # intensity; the odometry itself never reads it)
+            def frames():
+                for i in range(n_frames):
+                    yield seq.scan_xyzi(i), float(seq.stamps[i])
+        elif native.available():
             # native background prefetcher: raw reads only — the device
             # pipeline does its own preprocessing (res=0 disables native
             # voxelization to keep one canonical preprocessing path)
@@ -187,7 +194,10 @@ def main(argv=None) -> int:
         np.asarray(runner.stamps), est,
     )
     if args.map_ply and runner.state is not None:
-        m = runner.build_map()
+        if cfg.map.carry_intensity and runner._ikf:
+            m = runner.build_map_xyzi()  # [P, 4] xyzi
+        else:
+            m = runner.build_map()
         ply.write_ply(os.path.join(args.out_dir, args.map_ply), m)
         print(f"map: {len(m)} points -> {args.map_ply}", file=sys.stderr)
     if args.checkpoint and runner.state is not None:

@@ -184,6 +184,12 @@ class MapConfig:
 
     publish_freq: float = 1.0
     leaf_size: float = 0.25
+    # keep per-point intensity through to map export (PointXYZI parity,
+    # reference dlo/dlo.h:50). Host-side sidecar only — the device hot path
+    # never sees intensity (it is algorithmically unused in the reference
+    # too); the runner mirrors keyframe scans and the exporter re-derives
+    # an intensity-carrying map with the same voxel semantics.
+    carry_intensity: bool = False
 
 
 @dataclass(frozen=True)

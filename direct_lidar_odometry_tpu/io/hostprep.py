@@ -75,3 +75,67 @@ def preprocess_morton(
     if native.available():
         return native.preprocess_morton(points, crop, res, out_cap)
     return _preprocess_morton_numpy(points, crop, res, out_cap)
+
+
+def voxel_mean_xyzi(pts: np.ndarray, res: float, out_cap: int | None = None) -> np.ndarray:
+    """[M, 4] xyzi -> [S, 4] per-voxel mean of coordinates AND intensity.
+
+    Offline/export twin of ops/voxel.py with the intensity channel riding
+    as a payload (the reference gets this for free from pcl::VoxelGrid
+    averaging every PointXYZI field, dlo/dlo.h:50). Morton output order;
+    capacity overflow uses the same Bresenham Z-curve stride as the device
+    kernel so the kept subset is spatially uniform.
+    """
+    pts = np.asarray(pts, np.float32)
+    if len(pts) == 0:
+        return pts.reshape(0, 4)
+    xyz = pts[:, :3]
+    origin = xyz.min(axis=0)
+    coords = np.clip(
+        np.floor((xyz - origin) / res).astype(np.int64), 0, _GRID_DIM - 1
+    ).astype(np.uint32)
+    code = (
+        _part_bits_np(coords[:, 0])
+        | (_part_bits_np(coords[:, 1]) << 1)
+        | (_part_bits_np(coords[:, 2]) << 2)
+    )
+    uniq, inv = np.unique(code, return_inverse=True)
+    s = len(uniq)
+    sums = np.zeros((s, 4), np.float64)
+    np.add.at(sums, inv, pts[:, :4])
+    counts = np.bincount(inv, minlength=s).astype(np.float64)
+    out = (sums / counts[:, None]).astype(np.float32)
+    if out_cap is not None and s > out_cap:
+        i = np.arange(s, dtype=np.uint64)
+        kept = (i * np.uint64(out_cap)) % np.uint64(s) < np.uint64(out_cap)
+        out = out[kept]
+    return out
+
+
+def reduce_keyframe_scan_xyzi(
+    points: np.ndarray, crop_size: float | None, scan_res: float | None,
+    submap_res: float | None, out_cap: int,
+) -> np.ndarray:
+    """Raw [M, 4] xyzi scan -> the keyframe-cloud reduction, intensity kept.
+
+    Mirrors the geometry path of a stored keyframe cloud (NaN/crop ->
+    scan-res voxel -> submap-res voxel, pipeline.preprocess_scan +
+    keyframes.make_keyframe_cloud) so the runner's host intensity sidecar
+    stays the same density as the device keyframe ring.
+    """
+    pts = np.asarray(points, np.float32)
+    if pts.shape[1] < 4:
+        pts = np.concatenate(
+            [pts[:, :3], np.zeros((len(pts), 1), np.float32)], axis=1
+        )
+    keep = np.all(np.isfinite(pts[:, :3]), axis=1)
+    if crop_size:
+        keep &= ~np.all(np.abs(pts[:, :3]) <= float(crop_size), axis=1)
+    pts = pts[keep][:, :4]
+    if scan_res:
+        pts = voxel_mean_xyzi(pts, scan_res)
+    if submap_res:
+        pts = voxel_mean_xyzi(pts, submap_res, out_cap=out_cap)
+    elif len(pts) > out_cap:
+        pts = pts[:out_cap]
+    return pts

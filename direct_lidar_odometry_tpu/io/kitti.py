@@ -63,6 +63,10 @@ class KittiSequence:
         """[N, 3] xyz of scan i."""
         return read_velodyne_bin(self.files[i])[:, :3]
 
+    def scan_xyzi(self, i: int) -> np.ndarray:
+        """[N, 4] xyz + intensity of scan i (PointXYZI parity, dlo.h:50)."""
+        return read_velodyne_bin(self.files[i])
+
 
 def load_sequence(root: str, sequence: str) -> KittiSequence:
     """root/sequences/<seq>/velodyne + root/poses/<seq>.txt (if present)."""

@@ -137,13 +137,15 @@ def insert(
     """Append at ``count``; at capacity, evict the most redundant keyframe
     (see :func:`_eviction_slot`) instead of silently dropping the new one.
 
-    Returns (store, evicted: bool). The caller must invalidate any cached
-    submap when ``evicted`` is true — slot contents changed under a
-    possibly-identical membership mask (see pipeline.odom_frame).
+    Returns (store, evicted: bool, slot: int32). The caller must invalidate
+    any cached submap when ``evicted`` is true — slot contents changed under
+    a possibly-identical membership mask (see pipeline.odom_frame). The slot
+    lets host-side mirrors (e.g. the runner's intensity sidecar) track ring
+    contents through eviction.
     """
     full = kf.count >= kf.capacity
     idx = jnp.where(full, _eviction_slot(kf, position), kf.count)
-    idx = jnp.clip(idx, 0, kf.capacity - 1)
+    idx = jnp.clip(idx, 0, kf.capacity - 1).astype(jnp.int32)
 
     def write(arr, val):
         return arr.at[idx].set(val)
@@ -156,7 +158,7 @@ def insert(
         normals=write(kf.normals, normals.normals),
         normals_valid=write(kf.normals_valid, normals.valid),
         count=jnp.where(full, kf.count, kf.count + 1),
-    ), full
+    ), full, idx
 
 
 def maybe_spawn(
@@ -166,8 +168,9 @@ def maybe_spawn(
     cfg: DloConfig,
     thresh_dist: jnp.ndarray,
     backend: str = "hashgrid",
-) -> tuple[KeyframeStore, jnp.ndarray, jnp.ndarray]:
-    """Full updateKeyframes step. Returns (store, spawned, evicted)."""
+) -> tuple[KeyframeStore, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full updateKeyframes step. Returns (store, spawned, evicted, slot);
+    slot is the written ring index, or -1 when no keyframe spawned."""
     position = se3.se3_translation(pose)
     quat = se3.rotmat_to_quat(se3.se3_rotation(pose))
     dec = decide(kf, position, quat, thresh_dist, cfg.keyframe.thresh_rot)
@@ -177,7 +180,7 @@ def maybe_spawn(
         return insert(kf, position, quat, cloud, nrm)
 
     def keep(_):
-        return kf, jnp.asarray(False)
+        return kf, jnp.asarray(False), jnp.int32(-1)
 
-    new_kf, evicted = jax.lax.cond(dec.spawn, spawn, keep, None)
-    return new_kf, dec.spawn, evicted
+    new_kf, evicted, slot = jax.lax.cond(dec.spawn, spawn, keep, None)
+    return new_kf, dec.spawn, evicted, slot

@@ -123,7 +123,7 @@ def init_frame(
     cloud_kf, nrm_kf = keyframes.make_keyframe_cloud(scan, state.pose, cfg, backend)
     position = se3.se3_translation(state.pose)
     quat = se3.rotmat_to_quat(se3.se3_rotation(state.pose))
-    kf, _ = keyframes.insert(state.keyframes, position, quat, cloud_kf, nrm_kf)
+    kf, _, _ = keyframes.insert(state.keyframes, position, quat, cloud_kf, nrm_kf)
     return state._replace(
         prev_points=scan.points,
         prev_mask=scan.mask,
@@ -239,7 +239,7 @@ def odom_frame(
                      t_s2s_global)
 
     # --- keyframing (odom.cc:678, 1097-1181) ---
-    kf, spawned, kf_evicted = keyframes.maybe_spawn(
+    kf, spawned, kf_evicted, kf_slot = keyframes.maybe_spawn(
         state.keyframes, scan, pose, cfg, thresh_dist, backend
     )
     # eviction rewrites a slot under a possibly-unchanged membership mask;
@@ -267,6 +267,7 @@ def odom_frame(
         position=position,
         quat=quat,
         new_keyframe=spawned,
+        kf_slot=kf_slot,
         kf_evicted=kf_evicted,
         num_keyframes=kf.count,
         submap_changed=sel.changed,

@@ -60,6 +60,15 @@ class OdometryRunner:
         self._hull_pending = None   # (positions, count, thresh) device refs
         self._hull_sig = None       # bytes of last positions hulled
         self._hull_dev = None       # cached device-side mask args
+        # intensity sidecar (cfg.map.carry_intensity): host mirror of the
+        # keyframe ring as sensor-frame xyzi reduced scans. Slots are kept
+        # in sync with device eviction via FrameResult.kf_slot; resolution
+        # of "did frame t spawn a keyframe" is deferred so the async
+        # dispatch pipeline is never forced to sync (pending scans are
+        # bounded; old results are long since computed when force-read).
+        self._ikf: dict[int, np.ndarray] = {}
+        self._ipending: list[tuple] = []  # (result, idx_in_chunk|None, scan4)
+        self._ipending_max = 32
         self.state: OdomState | None = None
         self.prev_stamp: float | None = None
         self.poses: list[np.ndarray] = []
@@ -114,6 +123,9 @@ class OdometryRunner:
         if self.state is None:
             state = pipeline.fresh_state(cfg, self._initial_pose())
             self.state = self.init_fn(state, *scan_args)
+            if self._carry_intensity(points):
+                # init frame always writes keyframe slot 0 (odom.cc:483-505)
+                self._ikf[0] = self._reduce_xyzi(points)
             self._enqueue_hull_fetch(jnp.float32(cfg.keyframe.thresh_dist))
             self.prev_stamp = stamp
             self.poses.append(self.state.pose)
@@ -137,6 +149,9 @@ class OdometryRunner:
             self.state, *scan_args, imu_prior, *self._hull_args()
         )
         self._enqueue_hull_fetch(result.keyframe_thresh_dist)
+        if self._carry_intensity(points):
+            self._ipending.append((result, None, points))
+            self._resolve_intensity()
         self.prev_stamp = stamp
         self.poses.append(result.pose)
         self.stamps.append(stamp)
@@ -255,6 +270,11 @@ class OdometryRunner:
             self.state, *stacked, jnp.asarray(priors), *self._hull_args()
         )
         self._enqueue_hull_fetch(res.keyframe_thresh_dist[-1])
+        if self.cfg.map.carry_intensity:
+            for i, s in enumerate(scans):
+                if self._carry_intensity(s):
+                    self._ipending.append((res, i, s))
+            self._resolve_intensity()
         self.prev_stamp = stamps[-1]
         wall = (time.perf_counter() - t0) * 1e3 / k
         for i in range(k):
@@ -319,6 +339,60 @@ class OdometryRunner:
                 jnp.asarray(self._hull_fresh),
             )
         return self._hull_dev
+
+    # -- intensity sidecar (cfg.map.carry_intensity) ------------------------
+    def _carry_intensity(self, points: np.ndarray) -> bool:
+        return bool(self.cfg.map.carry_intensity) and points.shape[1] >= 4
+
+    def _reduce_xyzi(self, points: np.ndarray) -> np.ndarray:
+        from direct_lidar_odometry_tpu.io import hostprep
+
+        p = self.cfg.preprocessing
+        return hostprep.reduce_keyframe_scan_xyzi(
+            points,
+            p.crop.size if p.crop.use else None,
+            p.voxel_scan.res if p.voxel_scan.use else None,
+            p.voxel_submap.res if p.voxel_submap.use else None,
+            self.cfg.shapes.n_keyframe,
+        )
+
+    def _resolve_intensity(self, force: bool = False) -> None:
+        """Consume pending (result, scan) pairs whose keyframe decision is
+        known; keep the sidecar ring in sync with device eviction via
+        FrameResult.kf_slot. Only blocks when ``force`` or when the pending
+        queue exceeds its bound — and then only on the OLDEST entries,
+        whose results are long since computed under pipelined dispatch."""
+        keep = []
+        overflow = len(self._ipending) - self._ipending_max
+        for n, (res, idx, scan) in enumerate(self._ipending):
+            ready = force or n < overflow
+            if not ready:
+                flag = res.new_keyframe
+                ready = not hasattr(flag, "is_ready") or flag.is_ready()
+            if not ready:
+                keep.append((res, idx, scan))
+                continue
+            nk = np.asarray(res.new_keyframe)
+            slot = np.asarray(res.kf_slot)
+            if idx is not None:
+                nk, slot = nk[idx], slot[idx]
+            if bool(nk):
+                self._ikf[int(slot)] = self._reduce_xyzi(scan)
+        self._ipending = keep
+
+    def build_map_xyzi(self) -> np.ndarray:
+        """Intensity-carrying map ([P, 4] xyzi), from the host sidecar +
+        the CURRENT device keyframe poses (so loop-closure re-anchoring is
+        reflected). Requires cfg.map.carry_intensity and [N, 4] scans fed
+        through process_scan/process_chunk."""
+        assert self.state is not None
+        self._resolve_intensity(force=True)
+        return mapper.build_map_xyzi(
+            self._ikf,
+            np.asarray(self.state.keyframes.positions),
+            np.asarray(self.state.keyframes.quats),
+            self.cfg.map.leaf_size,
+        )
 
     # -- loop closure / map refinement -------------------------------------
     def maybe_refine(self, force: bool = False) -> dict | None:

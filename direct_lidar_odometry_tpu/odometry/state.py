@@ -74,6 +74,9 @@ class FrameResult(NamedTuple):
     position: jnp.ndarray        # [3]
     quat: jnp.ndarray            # [4] wxyz
     new_keyframe: jnp.ndarray    # bool
+    kf_slot: jnp.ndarray         # int32 ring slot written this frame (-1 if
+                                 # none) — lets host mirrors (runner intensity
+                                 # sidecar) track the ring through eviction
     kf_evicted: jnp.ndarray      # bool — ring was full, a redundant keyframe
                                  # was replaced (see keyframes._eviction_slot)
     num_keyframes: jnp.ndarray   # int32

@@ -39,7 +39,7 @@ def test_insert_below_capacity_appends():
     kf = _store(np.array([[0.0, 0, 0], [5.0, 0, 0]]))
     kf = kf._replace(count=jnp.int32(1))  # one real entry, capacity 2
     cloud, nrm = _dummy_cloud()
-    new, evicted = keyframes.insert(
+    new, evicted, _slot = keyframes.insert(
         kf, jnp.asarray([9.0, 0, 0]), jnp.asarray([1.0, 0, 0, 0]), cloud, nrm
     )
     assert not bool(evicted)
@@ -52,7 +52,7 @@ def test_insert_at_capacity_evicts_densest_pair_member():
     # The densest pair is (0, 0.5); the member farther from 21 is 0.
     kf = _store(np.array([[0.0, 0, 0], [0.5, 0, 0], [10.0, 0, 0], [20.0, 0, 0]]))
     cloud, nrm = _dummy_cloud()
-    new, evicted = keyframes.insert(
+    new, evicted, _slot = keyframes.insert(
         kf, jnp.asarray([21.0, 0, 0]), jnp.asarray([1.0, 0, 0, 0]), cloud, nrm
     )
     assert bool(evicted)

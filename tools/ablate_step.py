@@ -137,7 +137,7 @@ def main() -> None:
                 return s2m_res
             pose = jnp.where(s2m_res.num_correspondences > 0,
                              s2m_res.transform, t_global)
-            kf, spawned, kf_evicted = keyframes.maybe_spawn(
+            kf, spawned, kf_evicted, _slot = keyframes.maybe_spawn(
                 st.keyframes, scan, pose, cfg, thresh_dist, backend)
             return kf.count, spawned, pose
 
