@@ -191,6 +191,10 @@ def main() -> None:
     )
 
     runner = OdometryRunner(cfg)
+    # overlap the step/chunk compiles with the init compile + warmup frames
+    # (threads AOT-compile on abstract shapes; the persistent compile cache
+    # hands the executables to the foreground calls)
+    runner.precompile_async(chunk=args.chunk)
     warmup = 5
     latencies = []
     for t in range(min(warmup, len(scans))):

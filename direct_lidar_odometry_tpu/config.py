@@ -112,17 +112,35 @@ class GicpConfig:
             k_correspondences=20, max_correspondence_distance=0.5
         )
     )
-    # S2S coarse stride: run scan-to-scan on every k-th point of the
-    # Morton-sorted scan (a spatially uniform subsample by construction).
-    # S2S only produces the initial guess for S2M (odom.cc:812-847 — the
-    # published pose always comes from S2M), BUT a coarse S2S guess can
-    # land outside S2M's 0.5 m correspondence basin: at production density
-    # stride=4 was measured to diverge (ATE 3.3 m vs 0.001 m over the
-    # 45-frame bench world, CPU and TPU agree) even though small test
-    # worlds pass. Default is therefore 1 = full resolution (reference
-    # behavior, odom.cc:803-812). Strides > 1 are opt-in for short-horizon
-    # / well-seeded uses only. n_scan // stride must stay a multiple of 512.
-    s2s_coarse_stride: int = 1
+    # S2S coarse stride: when > 1, a coarse scan-to-scan align over every
+    # k-th point of the Morton-sorted scan (a spatially uniform subsample
+    # by construction) runs first and SEEDS the full-resolution S2S align,
+    # which always runs with the reference's own convergence criteria
+    # (odom.cc:803-812) — so end accuracy is identical to stride=1 while
+    # the expensive full-res while_loop exits after a couple of polish
+    # iterations. (Round 2 shipped a pure-coarse mode without the full-res
+    # polish; its guess could land outside S2M's 0.5 m correspondence
+    # basin and diverge — ATE 3.3 m vs 0.001 m at production density —
+    # hence the mandatory polish stage now.) 1 disables the coarse stage.
+    # n_scan // stride must stay a multiple of 512.
+    s2s_coarse_stride: int = 4
+    # Staged-gate S2M rescue (framework robustness addition — the
+    # reference prints "lm not converged!!" and carries on,
+    # lsq_registration_impl.hpp:105-108). Plane-to-plane GICP can stall in
+    # a local minimum when its initial guess lands outside the S2M 0.5 m
+    # correspondence basin (observed at production density: S2S stalls
+    # ~1.5 m off with per-correspondence Mahalanobis error ~6 vs ~0.15
+    # healthy, and S2M under the tight reference gate cannot pull back).
+    # When the per-correspondence error of either stage exceeds its
+    # threshold, S2M re-runs with the wide ``rescue_corr_distance`` gate
+    # and then re-refines at the reference's own 0.5 m gate, so the final
+    # operating point is unchanged. False positives only cost time, never
+    # accuracy; the thresholds are nearly scale-free (Mahalanobis
+    # residuals are normalized by the PLANE covariance model).
+    s2m_rescue: bool = True
+    rescue_corr_distance: float = 1.5
+    rescue_s2s_error: float = 1.0   # per-correspondence S2S error trigger
+    rescue_s2m_error: float = 0.35  # per-correspondence S2M error trigger
 
 
 @dataclass(frozen=True)

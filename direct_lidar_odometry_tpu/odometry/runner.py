@@ -76,6 +76,65 @@ class OdometryRunner:
         self.stats: list[FrameStats] = []
         self._identity = jnp.eye(4, dtype=jnp.float32)
 
+    # -- compile overlap ---------------------------------------------------
+    def precompile_async(self, chunk: int | None = None) -> list:
+        """Start compiling the per-frame step (and, when ``chunk`` is
+        given, the K-frame chunked step) in background daemon threads, on
+        abstract ShapeDtypeStructs — no real data, no device buffers.
+
+        Rationale: the three jit programs (init, step, chunked step)
+        otherwise compile serially on first use, and at production shapes
+        each costs tens of seconds to minutes. XLA compilation happens in
+        C++ (GIL released) — and on tunneled devices largely server-side —
+        so backgrounding it overlaps the step/chunk compiles with the
+        foreground init compile and the first frames. The foreground jit
+        call re-traces but then hits the persistent compilation cache
+        (enabled package-wide, machine-scoped) instead of recompiling.
+
+        Returns the threads (daemonized; join only for testing).
+        """
+        import threading
+
+        import jax
+
+        from functools import partial as _partial
+
+        cfg = self.cfg
+        sds = jax.ShapeDtypeStruct
+        state_abs = jax.eval_shape(_partial(pipeline.fresh_state, cfg))
+        cap = self._wire_capacity()
+        if cfg.quantize_transfer:
+            wire = (
+                sds((cap, 3), jnp.uint16), sds((3,), jnp.float32),
+                sds((3,), jnp.float32), sds((), jnp.int32),
+            )
+        else:
+            wire = (sds((cap, 3), jnp.float32), sds((cap,), jnp.bool_))
+        prior = sds((4, 4), jnp.float32)
+        k = cfg.shapes.max_keyframes
+        hull = (sds((k,), jnp.bool_), sds((k,), jnp.bool_), sds((), jnp.bool_))
+
+        def bg(fn, args):
+            try:
+                fn.lower(*args).compile()
+            except Exception:
+                pass  # best-effort: the foreground path compiles anyway
+
+        jobs = [(self.step_fn, (state_abs, *wire, prior, *hull))]
+        if chunk is not None and chunk > 1:
+            if self._chunk_fn is None:
+                self._chunk_fn = pipeline.make_chunked_step_fn(cfg)
+            stacked = tuple(
+                sds((chunk,) + a.shape, a.dtype) for a in (*wire, prior)
+            )
+            jobs.append((self._chunk_fn, (state_abs, *stacked, *hull)))
+        threads = []
+        for fn, args in jobs:
+            t = threading.Thread(target=bg, args=(fn, args), daemon=True)
+            t.start()
+            threads.append(t)
+        return threads
+
     # -- sensor inputs ----------------------------------------------------
     def push_imu(self, stamp: float, gyro, accel) -> None:
         if self.imu is not None:

@@ -97,24 +97,32 @@ def main() -> None:
             if stop == "normals":
                 return nrm
             src = gicp.GicpSource(scan.points, scan.mask, nrm.normals, nrm.valid)
+            guess = (se3.make_se3(imu_prior[:3, :3], state.last_delta[:3, 3])
+                     if cfg.imu.use else state.last_delta)
+            # coarse-to-fine S2S, mirroring pipeline.odom_frame
             cs = max(1, int(cfg.gicp.s2s_coarse_stride))
             while cs > 1 and (shapes.n_scan // cs) % 512 != 0:
                 cs -= 1
             if cs > 1:
-                s2s_src = gicp.GicpSource(scan.points[::cs], scan.mask[::cs],
-                                          nrm.normals[::cs], nrm.valid[::cs])
-                prev = (state.prev_points[::cs], state.prev_mask[::cs],
-                        state.prev_normals[::cs], state.prev_normals_valid[::cs])
-            else:
-                s2s_src = src
-                prev = (state.prev_points, state.prev_mask,
-                        state.prev_normals, state.prev_normals_valid)
+                coarse_src = gicp.GicpSource(scan.points[::cs], scan.mask[::cs],
+                                             nrm.normals[::cs], nrm.valid[::cs])
+                coarse_target = gicp.make_target(
+                    state.prev_points[::cs], state.prev_mask[::cs],
+                    state.prev_normals[::cs], state.prev_normals_valid[::cs],
+                    cfg.gicp.s2s.max_correspondence_distance,
+                    shapes.grid_table_size, backend=backend)
+                coarse_res = gicp.align(coarse_src, coarse_target, guess,
+                                        cfg.gicp.s2s, cap=shapes.cell_cap_1nn,
+                                        backend=backend)
+                guess = coarse_res.transform
+                if stop == "s2s_coarse":
+                    return coarse_res
             s2s_target = gicp.make_target(
-                *prev, cfg.gicp.s2s.max_correspondence_distance,
+                state.prev_points, state.prev_mask,
+                state.prev_normals, state.prev_normals_valid,
+                cfg.gicp.s2s.max_correspondence_distance,
                 shapes.grid_table_size, backend=backend)
-            guess = (se3.make_se3(imu_prior[:3, :3], state.last_delta[:3, 3])
-                     if cfg.imu.use else state.last_delta)
-            s2s_res = gicp.align(s2s_src, s2s_target, guess, cfg.gicp.s2s,
+            s2s_res = gicp.align(src, s2s_target, guess, cfg.gicp.s2s,
                                  cap=shapes.cell_cap_1nn, backend=backend)
             if stop == "s2s":
                 return s2s_res
@@ -152,7 +160,10 @@ def main() -> None:
 
     rows = []
     prev_ms = 0.0
-    for stop in ["preprocess", "normals", "s2s", "submap", "s2m", "full"]:
+    stops = ["preprocess", "normals", "s2s", "submap", "s2m", "full"]
+    if cfg.gicp.s2s_coarse_stride > 1:
+        stops.insert(2, "s2s_coarse")
+    for stop in stops:
         fn = prefix(stop)
         ms = timeit(fn, state, pts, msk, eye)
         rows.append((stop, ms, ms - prev_ms))
