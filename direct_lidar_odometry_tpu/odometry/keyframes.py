@@ -84,7 +84,7 @@ def make_keyframe_cloud(
         # and it keeps the stored cloud coherent for submap assembly
         zp, zm = morton.sort_cloud(c.points, c.mask)
         c = PointCloud(points=zp, mask=zm)
-        clo, chi = morton.chunk_aabbs(c.points, c.mask, 512)
+        clo, chi = morton.chunk_aabbs(c.points, c.mask, morton.TARGET_CHUNK)
         nrm = covariance.estimate_normals_radius_sorted(
             c.points, c.mask, clo, chi, radius=3.0 * res
         )

@@ -82,7 +82,7 @@ def preprocess_scan(
 def _scan_normals(scan: PointCloud, cfg: DloConfig, backend: str) -> covariance.Normals:
     if gicp.is_pallas(backend):
         res = cfg.preprocessing.voxel_scan.res if cfg.preprocessing.voxel_scan.use else 0.25
-        clo, chi = morton.chunk_aabbs(scan.points, scan.mask, 512)
+        clo, chi = morton.chunk_aabbs(scan.points, scan.mask, morton.TARGET_CHUNK)
         return covariance.estimate_normals_radius_sorted(
             scan.points, scan.mask, clo, chi, radius=3.0 * res
         )
@@ -234,7 +234,8 @@ def odom_frame(
     # --- S2M: scan against submap, S2S-propagated guess (odom.cc:837-847) ---
     if gicp.is_pallas(backend):
         # submap is Z-ordered at assembly; AABBs are cheap enough per frame
-        sm_lo, sm_hi = morton.chunk_aabbs(state.submap_points, state.submap_mask, 512)
+        sm_lo, sm_hi = morton.chunk_aabbs(state.submap_points, state.submap_mask,
+                                          morton.TARGET_CHUNK)
     else:
         sm_lo = sm_hi = None
     s2m_target = gicp.GicpTarget(

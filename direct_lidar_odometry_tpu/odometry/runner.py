@@ -259,7 +259,7 @@ class OdometryRunner:
         raw = cl.from_numpy(pts[:, :3], cap)
         return (raw.points, raw.mask)
 
-    def prepare_chunk(self, scans) -> tuple:
+    def prepare_chunk(self, scans, to_device: bool = True) -> tuple:
         """Host-side wire-format encode of a chunk of scans (stacked).
 
         Separated from :meth:`process_chunk` so callers can run it in a
@@ -268,6 +268,11 @@ class OdometryRunner:
         (native.quantize), so it genuinely overlaps. At 131k-point scans
         the encode costs ~4-9 ms/scan on a weak host, which otherwise
         serializes with dispatch and caps throughput.
+
+        ``to_device``: also start the host->device transfer here (in the
+        worker thread), so the ~1.6 MB chunk upload overlaps the previous
+        chunk's compute instead of serializing with dispatch — on tunneled
+        transports the upload latency is a first-order per-chunk cost.
         """
         cfg = self.cfg
         cap = self._wire_capacity()
@@ -276,21 +281,25 @@ class OdometryRunner:
                 cl.quantize_for_transfer(self._prep_points(s)[:, :3], cap)
                 for s in scans
             ]
-            return (
+            out = (
                 np.stack([x.q for x in qs]),
                 np.stack([x.lo for x in qs]),
                 np.stack([x.scale for x in qs]),
                 np.stack([x.count for x in qs]),
             )
-        k = len(scans)
-        pts = np.full((k, cap, 3), cl.PAD_VALUE, np.float32)
-        mask = np.zeros((k, cap), bool)
-        for i, s in enumerate(scans):
-            p = self._prep_points(s)
-            m = min(len(p), cap)
-            pts[i, :m] = p[:m, :3]
-            mask[i, :m] = True
-        return (pts, mask)
+        else:
+            k = len(scans)
+            pts = np.full((k, cap, 3), cl.PAD_VALUE, np.float32)
+            mask = np.zeros((k, cap), bool)
+            for i, s in enumerate(scans):
+                p = self._prep_points(s)
+                m = min(len(p), cap)
+                pts[i, :m] = p[:m, :3]
+                mask[i, :m] = True
+            out = (pts, mask)
+        if to_device:
+            out = tuple(jnp.asarray(a) for a in out)
+        return out
 
     def process_chunk(self, scans, stamps, prepared: tuple | None = None) -> FrameResult:
         """K frames in ONE device dispatch (offline/throughput path).

@@ -22,6 +22,17 @@ import jax.numpy as jnp
 # quality depends on this, never correctness; 1024 cells cover +-256 m.
 DEFAULT_CELL = 0.5
 
+# Target-side chunk granularity for the branch-and-bound kernels: clouds
+# are chunked into runs of this many consecutive Z-ordered points, and the
+# pruned kernels (ops/pallas_nn.py, ops/pallas_cov.py) skip whole chunks
+# by AABB gap. Finer chunks = tighter AABBs = more skips, but more
+# candidate-table SMEM ([Qc, C] grows with C = N/TARGET_CHUNK) and more
+# loop iterations. Every chunk_aabbs caller and both kernels key off this
+# constant so it can be tuned in one place (DLO_TARGET_CHUNK env for A/B).
+import os as _os
+
+TARGET_CHUNK = int(_os.environ.get("DLO_TARGET_CHUNK", "512"))
+
 
 def _part_bits(x: jnp.ndarray) -> jnp.ndarray:
     """Spread the low 10 bits of ``x`` so there are 2 zeros between bits."""

@@ -32,7 +32,9 @@ from direct_lidar_odometry_tpu.ops.pallas_nn import _IDX_BITS as pallas_nn_idx_b
 
 _BQ = 128   # smaller tile = tighter AABB = fewer candidate chunks (v5e-measured)
 _BT = 2048
-_BT_S = 512  # chunk size for the AABB-pruned variant (matches pallas_nn)
+from direct_lidar_odometry_tpu.ops import morton as _morton
+
+_BT_S = _morton.TARGET_CHUNK  # chunk size for the AABB-pruned variant (matches pallas_nn)
 
 
 def _cov_kernel(q_ref, t_ref, tbias_ref, out_ref, *, t_total: int, radius2: float, bt: int = _BT):

@@ -26,11 +26,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from direct_lidar_odometry_tpu.ops import morton as _morton
+
 _BQ = 128   # queries per grid step (smaller tile = tighter AABB = fewer
             # candidate chunks; 128 measured ~20% faster than 256 at
             # production submap shapes on v5e)
 _BT = 2048  # target chunk per inner iteration (exhaustive kernel)
-_BT_S = 512  # target chunk for the AABB-pruned kernel (finer = more skips)
+_BT_S = _morton.TARGET_CHUNK  # target chunk for the AABB-pruned kernel (finer = more skips)
 
 
 def _nn1_kernel(q_ref, t_ref, tbias_ref, d2_ref, idx_ref, *, t_total: int, bt: int = _BT):
@@ -176,10 +178,10 @@ def candidate_chunks(
 
 # Low mantissa bits of d2 sacrificed to carry the chunk-local point index
 # through the min-reduction (one packed int min replaces argmin + min +
-# two selects per chunk — measured 22% kernel win on v5e). 9 bits covers
-# _BT_S=512; the masked value is <= the true d2 (conservative for the
+# two selects per chunk — measured 22% kernel win on v5e). The bit count
+# tracks _BT_S; the masked value is <= the true d2 (conservative for the
 # radius test and the B&B bound) with relative error <= 2^-14.
-_PACK_BITS = 9
+_PACK_BITS = max(1, (_BT_S - 1)).bit_length()
 _PACK_MASK = (1 << _PACK_BITS) - 1
 assert _BT_S <= (1 << _PACK_BITS)
 # Loop unroll: chunks per branch-and-bound iteration. 2 measured best on

@@ -105,7 +105,7 @@ def make_target(
     )
     chunk_lo = chunk_hi = None
     if is_pallas(backend):
-        chunk_lo, chunk_hi = morton.chunk_aabbs(points, mask, 512)
+        chunk_lo, chunk_hi = morton.chunk_aabbs(points, mask, morton.TARGET_CHUNK)
     return GicpTarget(
         points=points, mask=mask, normals=normals,
         normals_valid=normals_valid, grid=grid,

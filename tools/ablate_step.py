@@ -70,10 +70,14 @@ def main() -> None:
     state = runner.state
     raw = synthetic.render_scan(world, frames, rng, max_range=max_range,
                                 max_points=max_pts)
-    pts = np.full((shapes.n_raw, 3), 1e6, np.float32)
-    msk = np.zeros((shapes.n_raw,), bool)
-    pts[: len(raw)] = raw
-    msk[: len(raw)] = True
+    # match the runner's wire format: with host_preprocess the device step
+    # receives <= n_scan Z-ordered voxel centroids, not the raw scan
+    raw = runner._prep_points(raw)
+    cap = runner._wire_capacity()
+    pts = np.full((cap, 3), 1e6, np.float32)
+    msk = np.zeros((cap,), bool)
+    pts[: len(raw)] = raw[:, :3][:cap]
+    msk[: min(len(raw), cap)] = True
     pts, msk = jnp.asarray(pts), jnp.asarray(msk)
     eye = jnp.eye(4, dtype=jnp.float32)
     directions = jnp.asarray(hulls.fibonacci_directions(shapes.hull_directions))
@@ -134,7 +138,7 @@ def main() -> None:
             st = submap.assemble_submap(state, sel, qp, cfg, backend)
             if stop == "submap":
                 return st.submap_points
-            sm_lo, sm_hi = morton.chunk_aabbs(st.submap_points, st.submap_mask, 512)
+            sm_lo, sm_hi = morton.chunk_aabbs(st.submap_points, st.submap_mask, morton.TARGET_CHUNK)
             s2m_target = gicp.GicpTarget(
                 points=st.submap_points, mask=st.submap_mask,
                 normals=st.submap_normals, normals_valid=st.submap_normals_valid,

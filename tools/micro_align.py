@@ -148,7 +148,7 @@ def main() -> None:
     sub_fn = jax.jit(f32_matmuls(submap_fn))
 
     def s2m_fn(st, g2):
-        sm_lo, sm_hi = morton.chunk_aabbs(st.submap_points, st.submap_mask, 512)
+        sm_lo, sm_hi = morton.chunk_aabbs(st.submap_points, st.submap_mask, morton.TARGET_CHUNK)
         t = gicp.GicpTarget(
             chunk_lo=sm_lo, chunk_hi=sm_hi,
             points=st.submap_points, mask=st.submap_mask,

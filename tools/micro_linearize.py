@@ -48,7 +48,7 @@ def main() -> None:
 
     sp, sm = morton.sort_cloud(jnp.asarray(src_pts), jnp.ones((ns,), bool))
     tp, tm = morton.sort_cloud(jnp.asarray(tgt_pts), jnp.ones((nt,), bool))
-    lo, hi = morton.chunk_aabbs(tp, tm, 512)
+    lo, hi = morton.chunk_aabbs(tp, tm, morton.TARGET_CHUNK)
     sn = jnp.asarray(src_n)
     tn = jnp.asarray(tgt_n)
     ones_s = jnp.ones((ns,), bool)

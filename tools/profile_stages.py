@@ -107,7 +107,7 @@ def main() -> None:
     @jax.jit
     @f32_matmuls
     def s2m_fn(st, src, g):
-        lo, hi = morton.chunk_aabbs(st.submap_points, st.submap_mask, 512)
+        lo, hi = morton.chunk_aabbs(st.submap_points, st.submap_mask, morton.TARGET_CHUNK)
         tgt = gicp.GicpTarget(
             points=st.submap_points, mask=st.submap_mask,
             normals=st.submap_normals, normals_valid=st.submap_normals_valid,

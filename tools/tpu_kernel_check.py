@@ -39,7 +39,7 @@ for (T, Q, radius) in [(65536, 32768, 0.5), (32768, 32768, 1.0), (8192, 8192, 1.
     qp, qm = make_cloud(Q)
     tp, tm = zsort(tp, tm)
     qp, qm = zsort(qp, qm)
-    lo, hi = morton.chunk_aabbs(jnp.asarray(tp), jnp.asarray(tm), 512)
+    lo, hi = morton.chunk_aabbs(jnp.asarray(tp), jnp.asarray(tm), morton.TARGET_CHUNK)
     idx, d2, found = jax.jit(
         lambda tpx, tmx, lox, hix, qpx, qmx: pallas_nn.query_1nn_sorted(
             tpx, tmx, lox, hix, qpx, qmx, radius, interpret=False
@@ -66,7 +66,7 @@ for (T, Q, radius) in [(65536, 32768, 0.5), (32768, 32768, 1.0), (8192, 8192, 1.
 T = 32768
 tp, tm = make_cloud(T, extent=20.0)
 tp, tm = zsort(tp, tm)
-lo, hi = morton.chunk_aabbs(jnp.asarray(tp), jnp.asarray(tm), 512)
+lo, hi = morton.chunk_aabbs(jnp.asarray(tp), jnp.asarray(tm), morton.TARGET_CHUNK)
 r = 0.75
 m = jax.jit(
     lambda a, b, c, d: pallas_cov.radius_moments_sorted(
