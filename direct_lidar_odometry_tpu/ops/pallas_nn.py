@@ -193,6 +193,23 @@ def _nn1_pruned_kernel(
     cnt_ref, cand_ref, q_ref, t_ref, qinit_ref, d2_ref, idx_ref,
     *, qc: int, radius2: float,
 ):
+    _pruned_kernel_body(cnt_ref, cand_ref, q_ref, t_ref, None, qinit_ref,
+                        d2_ref, idx_ref, qc=qc, radius2=radius2)
+
+
+def _nn1_pruned_kernel_mxu(
+    cnt_ref, cand_ref, q_ref, t_ref, t2_ref, qinit_ref, d2_ref, idx_ref,
+    *, qc: int, radius2: float,
+):
+    """MXU variant: see ``_pruned_kernel_body`` (t2_ref = [1,1,T] |t|^2)."""
+    _pruned_kernel_body(cnt_ref, cand_ref, q_ref, t_ref, t2_ref, qinit_ref,
+                        d2_ref, idx_ref, qc=qc, radius2=radius2)
+
+
+def _pruned_kernel_body(
+    cnt_ref, cand_ref, q_ref, t_ref, t2_ref, qinit_ref, d2_ref, idx_ref,
+    *, qc: int, radius2: float,
+):
     """One (batch b, query tile i) grid step vs its candidate chunks only.
 
     cnt_ref: [B*Qc] SMEM candidate counts; cand_ref: [B*Qc, C] SMEM
@@ -224,17 +241,40 @@ def _nn1_pruned_kernel(
 
     n_c = cand_ref.shape[1]
 
+    if t2_ref is not None:
+        # MXU expansion path: d2 = |q|^2 + |t|^2 - 2 q.t with the cross
+        # term as a [BQ,3]x[3,BT_S] matmul on the otherwise-idle MXU (K=3
+        # underutilizes the systolic array but the VPU sheds ~8 of its 11
+        # ops per pair). Expansion cancellation costs up to ~|q|^2 * 1e-7
+        # absolute d2 error (~1e-3 m^2 at 100 m coords) — winner choice
+        # between near-ties and borderline radius hits may differ from the
+        # exact kernel, which is why this is the opt-in "pallas_mxu"
+        # backend; callers always recompute the winner's d2 exactly.
+        qmat = jnp.concatenate([qx, qy, qz], axis=1)        # [BQ, 3]
+        q2 = (qx * qx + qy * qy + qz * qz)                   # [BQ, 1]
+
     def chunk_min(k):
         """Min over chunk cand[k]: (masked-d2 bits [BQ] int32, global idx)."""
         j = cand_ref[row, jnp.minimum(k, n_c - 1)] & ((1 << _IDX_BITS) - 1)
         off = pl.multiple_of(j * _BT_S, _BT_S)
-        tx = t_ref[0, 0, pl.ds(off, _BT_S)][None, :]
-        ty = t_ref[0, 1, pl.ds(off, _BT_S)][None, :]
-        tz = t_ref[0, 2, pl.ds(off, _BT_S)][None, :]
-        dx = qx - tx
-        dy = qy - ty
-        dz = qz - tz
-        d2 = dx * dx + dy * dy + dz * dz  # [BQ, BT_S], >= 0
+        if t2_ref is not None:
+            tmat = t_ref[0, :, pl.ds(off, _BT_S)]            # [3, BT_S]
+            g = jax.lax.dot_general(
+                qmat, tmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # [BQ, BT_S]
+            t2 = t2_ref[0, 0, pl.ds(off, _BT_S)][None, :]
+            # clamp: cancellation can go slightly negative, and the bit-
+            # pattern ordering below needs d2 >= 0
+            d2 = jnp.maximum(q2 + t2 - 2.0 * g, 0.0)
+        else:
+            tx = t_ref[0, 0, pl.ds(off, _BT_S)][None, :]
+            ty = t_ref[0, 1, pl.ds(off, _BT_S)][None, :]
+            tz = t_ref[0, 2, pl.ds(off, _BT_S)][None, :]
+            dx = qx - tx
+            dy = qy - ty
+            dz = qz - tz
+            d2 = dx * dx + dy * dy + dz * dz  # [BQ, BT_S], >= 0
         # positive-float bit patterns order like the floats: mask the low
         # mantissa bits, or-in the lane index, ONE int min-reduce
         p = (d2.view(jnp.int32) & jnp.int32(~_PACK_MASK)) | lane
@@ -290,7 +330,7 @@ def _smem_subbatch(b_total: int, qc: int, n_c: int) -> int:
 
 def _pruned_1nn_batched(
     target_points, target_mask, chunk_lo, chunk_hi, queries, query_mask,
-    radius: float, interpret: bool,
+    radius: float, interpret: bool, mxu: bool = False,
 ):
     """Batched pruned search. All inputs carry a leading [B] axis."""
     b_total = target_points.shape[0]
@@ -303,7 +343,7 @@ def _pruned_1nn_batched(
                 target_points[i : i + bs], target_mask[i : i + bs],
                 chunk_lo[i : i + bs], chunk_hi[i : i + bs],
                 queries[i : i + bs], query_mask[i : i + bs],
-                radius, interpret,
+                radius, interpret, mxu,
             )
             for i in range(0, b_total, bs)
         ]
@@ -312,13 +352,13 @@ def _pruned_1nn_batched(
         )
     return _pruned_1nn_one(
         target_points, target_mask, chunk_lo, chunk_hi, queries, query_mask,
-        radius, interpret,
+        radius, interpret, mxu,
     )
 
 
 def _pruned_1nn_one(
     target_points, target_mask, chunk_lo, chunk_hi, queries, query_mask,
-    radius: float, interpret: bool,
+    radius: float, interpret: bool, mxu: bool = False,
 ):
     from direct_lidar_odometry_tpu.ops import morton
 
@@ -345,18 +385,36 @@ def _pruned_1nn_one(
     r2 = float(radius) ** 2
     qinit = jnp.where(query_mask, jnp.float32(r2), 0.0)[:, None, :]
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # counts [B*Qc]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # cand [B*Qc, C] packed
+        pl.BlockSpec((1, 3, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 3, t_total), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((1, 1, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+    ]
+    inputs = [
+        counts.reshape(b_total * qc),
+        cand.reshape(b_total * qc, n_c),
+        tq, tt, qinit,
+    ]
+    if mxu:
+        # |t|^2 row for the expansion; pad coords (1e6) give ~3e12 — the
+        # same never-wins masking as the exact path
+        t2 = jnp.sum(tt * tt, axis=1, keepdims=True)  # [B, 1, T]
+        in_specs.insert(4, pl.BlockSpec(
+            (1, 1, t_total), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        ))
+        inputs.insert(4, t2)
+        kernel = partial(_nn1_pruned_kernel_mxu, qc=qc, radius2=r2)
+    else:
+        kernel = partial(_nn1_pruned_kernel, qc=qc, radius2=r2)
+
     d2, idx = pl.pallas_call(
-        partial(_nn1_pruned_kernel, qc=qc, radius2=r2),
+        kernel,
         grid=(b_total, qc),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts [B*Qc]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # cand [B*Qc, C] packed
-            pl.BlockSpec((1, 3, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 3, t_total), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, 1, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _BQ), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
@@ -366,11 +424,7 @@ def _pruned_1nn_one(
             jax.ShapeDtypeStruct((b_total, 1, q_total), jnp.int32),
         ],
         interpret=interpret,
-    )(
-        counts.reshape(b_total * qc),
-        cand.reshape(b_total * qc, n_c),
-        tq, tt, qinit,
-    )
+    )(*inputs)
 
     best_idx = idx[:, 0, :]
     # the kernel's d2 carries the packed-index mantissa mask; recompute the
@@ -385,7 +439,7 @@ def _pruned_1nn_one(
 
 
 @lru_cache(maxsize=None)
-def _pruned_1nn_fn(radius: float, interpret: bool):
+def _pruned_1nn_fn(radius: float, interpret: bool, mxu: bool = False):
     """custom_vmap wrapper so ``jax.vmap`` (parallel/batched.py) maps onto
     the natively-batched grid instead of pallas' default batching (which
     cannot express per-batch SMEM candidate lists)."""
@@ -393,7 +447,7 @@ def _pruned_1nn_fn(radius: float, interpret: bool):
     def single(tp, tm, clo, chi, q, qm):
         out = _pruned_1nn_batched(
             tp[None], tm[None], clo[None], chi[None], q[None], qm[None],
-            radius, interpret,
+            radius, interpret, mxu,
         )
         return jax.tree.map(lambda x: x[0], out)
 
@@ -405,7 +459,7 @@ def _pruned_1nn_fn(radius: float, interpret: bool):
             a if ab else jnp.broadcast_to(a, (axis_size,) + a.shape)
             for a, ab in zip(args, in_batched)
         )
-        out = _pruned_1nn_batched(*full, radius, interpret)
+        out = _pruned_1nn_batched(*full, radius, interpret, mxu)
         return out, (True, True, True)
 
     return f
@@ -420,6 +474,7 @@ def query_1nn_sorted(
     query_mask: jnp.ndarray,
     radius: float,
     interpret: bool | None = None,
+    mxu: bool = False,
 ):
     """Exact 1-NN within ``radius`` over a Morton-sorted target cloud.
 
@@ -430,10 +485,15 @@ def query_1nn_sorted(
     candidate pruning test). Results match :func:`query_1nn` exactly for
     every query whose nearest neighbor lies within ``radius``; other
     queries report ``found=False`` either way.
+
+    ``mxu=True`` selects the distance-expansion kernel (cross term on the
+    MXU): winner selection becomes approximate within ~|coord|^2 * 1e-7
+    m^2 (near-ties and borderline radius hits may differ), though the
+    reported d2 stays exact. Used by the opt-in "pallas_mxu" backend.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    fn = _pruned_1nn_fn(float(radius), bool(interpret))
+    fn = _pruned_1nn_fn(float(radius), bool(interpret), bool(mxu))
     return fn(
         target_points, target_mask, chunk_lo, chunk_hi, queries, query_mask
     )

@@ -162,6 +162,7 @@ def _update_correspondences(
         idx, _, found = pallas_nn.query_1nn_sorted(
             target.points, target.mask, target.chunk_lo, target.chunk_hi,
             p_t, src.mask, cfg.max_correspondence_distance,
+            mxu=(backend == "pallas_mxu"),
         )
     elif backend == "brute":
         tile = min(8192, target.points.shape[0])

@@ -47,6 +47,35 @@ def test_pruned_1nn_matches_bruteforce():
     np.testing.assert_allclose(d_p[f_p], d_b[f_p], rtol=1e-5)
 
 
+def test_pruned_1nn_mxu_variant_agrees_within_slack():
+    """The MXU distance-expansion kernel (backend "pallas_mxu") may pick a
+    different winner only among near-ties within the expansion's ~1e-3 m^2
+    cancellation slack; each query's chosen neighbor must be within that
+    slack of the true nearest, and the reported d2 stays exact."""
+    rng = np.random.default_rng(3)
+    tp, tm = _sorted_cloud(rng, 4096)
+    qp, qm = _sorted_cloud(rng, 2048)
+    radius = 0.8
+    clo, chi = morton.chunk_aabbs(tp, tm, morton.TARGET_CHUNK)
+    i_e, d_e, f_e = pallas_nn.query_1nn_sorted(tp, tm, clo, chi, qp, qm, radius)
+    i_m, d_m, f_m = pallas_nn.query_1nn_sorted(
+        tp, tm, clo, chi, qp, qm, radius, mxu=True
+    )
+    i_e, d_e, f_e = map(np.asarray, (i_e, d_e, f_e))
+    i_m, d_m, f_m = map(np.asarray, (i_m, d_m, f_m))
+    slack = 2e-3
+    # found may differ only for borderline-radius queries
+    border = np.abs(d_e - radius * radius) < slack
+    assert (f_e == f_m)[~border].all()
+    both = f_e & f_m
+    assert both.sum() > 100
+    # winner d2 within slack of the true nearest; d2 itself exact
+    assert np.all(d_m[both] - d_e[both] < slack)
+    tpn, qpn = np.asarray(tp), np.asarray(qp)
+    d2_re = np.sum((qpn[both] - tpn[i_m[both]]) ** 2, axis=-1)
+    np.testing.assert_allclose(d_m[both], d2_re, rtol=1e-5)
+
+
 def test_pruned_1nn_never_returns_masked_targets():
     rng = np.random.default_rng(1)
     tp, tm = _sorted_cloud(rng, 2048, valid_frac=0.5)
