@@ -187,23 +187,27 @@ def main() -> None:
 
     cfg = production_cfg(args.small)
     rng = np.random.default_rng(0)
-    world, max_range, max_pts = make_bench_world(args.frames, rng, args.small)
 
-    print("# rendering scans...", file=sys.stderr)
+    # Start the step/chunk compiles FIRST, in background threads (AOT on
+    # abstract shapes; the persistent compile cache hands the executables
+    # to the foreground calls): world generation + rendering below costs
+    # tens of seconds of pure host time, which now overlaps the multi-
+    # minute cold XLA compile instead of preceding it.
+    t_setup = time.perf_counter()
+    runner = OdometryRunner(cfg)
+    precompile_threads = runner.precompile_async(chunk=args.chunk)
+
+    world, max_range, max_pts = make_bench_world(args.frames, rng, args.small)
+    print("# rendering scans (overlapping background compiles)...", file=sys.stderr)
     scans = [
         synthetic.render_scan(world, t, rng, max_range=max_range, max_points=max_pts)
         for t in range(args.frames)
     ]
     print(
-        f"# {len(scans)} scans, mean {np.mean([len(s) for s in scans]):.0f} raw pts",
+        f"# {len(scans)} scans, mean {np.mean([len(s) for s in scans]):.0f} raw pts, "
+        f"rendered in {time.perf_counter()-t_setup:.1f} s",
         file=sys.stderr,
     )
-
-    runner = OdometryRunner(cfg)
-    # overlap the step/chunk compiles with the init compile + warmup frames
-    # (threads AOT-compile on abstract shapes; the persistent compile cache
-    # hands the executables to the foreground calls)
-    precompile_threads = runner.precompile_async(chunk=args.chunk)
     warmup = 5
     latencies = []
     for t in range(min(warmup, len(scans))):
@@ -236,6 +240,11 @@ def main() -> None:
     # host from dispatch and skew early chunk timings
     for th in precompile_threads:
         th.join(timeout=300)
+    print(
+        f"# cold-start to steady state: {time.perf_counter()-t_setup:.1f} s "
+        f"(world+render+compiles+warmup)",
+        file=sys.stderr,
+    )
 
     # Keep two chunks in flight (host prep of chunk i+1 overlaps device
     # compute of chunk i) and record per-chunk completion deltas; the
@@ -252,8 +261,10 @@ def main() -> None:
     ex = ThreadPoolExecutor(1)
     flush_every = 8
     n_chunks = max(0, (len(scans) - start) // chunk)
-    # leave at least 3 recorded samples; deeper queues eat the tail
-    depth = max(1, min(args.inflight, n_chunks - 3))
+    # leave at least 3 recorded samples AFTER the discarded pipeline-fill
+    # pop (n_chunks - depth - 1 samples record), else the median estimator
+    # silently degrades to wall-avg below
+    depth = max(1, min(args.inflight, n_chunks - 4))
     t0 = time.perf_counter()
     res = None
     pending: list = []  # completion queue, oldest first
@@ -314,7 +325,6 @@ def main() -> None:
         # way min-of-chunks is). Best-chunk is reported alongside as the
         # contention-free chip-capability estimate.
         ms = float(np.median(chunk_times)) / chunk * 1e3
-        ms_best = float(np.min(chunk_times)) / chunk * 1e3
         print(
             f"# chunk times (ms/frame): "
             + " ".join(f"{c/chunk*1e3:.1f}" for c in chunk_times),
@@ -322,7 +332,24 @@ def main() -> None:
         )
     else:
         ms = ms_wall
-        ms_best = ms_wall
+    # Chip-capability estimate: min over a few SYNCED chunks (dispatch ->
+    # immediate sync, depth-1). Completion deltas of a depth-N queue are
+    # NOT usable for this: after a transport stall the queue drains in a
+    # burst and the delta collapses (round 3 recorded a 4.2 ms/frame
+    # "best chunk" against a 57.9 ms synced latency). A synced chunk can
+    # only understate the chip, never flatter it.
+    ms_best = ms
+    if chunk > 1 and len(scans) - start >= chunk:
+        best_synced = []
+        for _ in range(3):
+            tb = time.perf_counter()
+            r = runner.process_chunk(
+                scans[-chunk:],
+                [float(s) + 0.1 for s in world.stamps[-chunk:]],
+            )
+            np.asarray(r.position)
+            best_synced.append(time.perf_counter() - tb)
+        ms_best = min(best_synced) / chunk * 1e3
     fps = 1000.0 / ms
 
     # synced single-frame latency for the dashboard line

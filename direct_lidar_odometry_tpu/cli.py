@@ -70,6 +70,7 @@ def main(argv=None) -> int:
     cfg = load_config(args.config, dict(_parse_override(s) for s in args.set))
     runner = OdometryRunner(cfg)
     timing = profiling.TimingStats()
+    cpu_mon = profiling.CpuMonitor()  # CPU load/cores (odom.cc:1386-1403)
 
     # graceful shutdown: finish the frame, write outputs (the reference's
     # SIGTERM -> abort timer -> stop() analog, odom_node.cc:12-16)
@@ -182,7 +183,8 @@ def main(argv=None) -> int:
                     "s2m_it": int(res.s2m_iterations), "s2m_nc": int(res.s2m_num_corr),
                 }
                 print(profiling.dashboard(i, pos, quat, distance, timing,
-                                          int(res.num_keyframes), health))
+                                          int(res.num_keyframes), health,
+                                          cpu=cpu_mon))
 
     # --- outputs ----------------------------------------------------------
     est = runner.trajectory()

@@ -99,13 +99,26 @@ def register_loop_edges(
     Keyframe clouds are stored in the WORLD frame (state.py KeyframeStore),
     so aligning cloud j (source) onto cloud i (target) from an identity
     guess yields the world-frame drift correction ``dT``; the measured
-    relative pose is ``Z_ij = X_i^-1 dT X_j``. Registration params reuse
-    the S2M stage (same clouds, same density). ``lax.map`` keeps one GICP
-    problem in flight at a time — loop edges are few and off the hot path,
-    so VMEM footprint beats parallelism here.
+    relative pose is ``Z_ij = X_i^-1 dT X_j``. Registration params are the
+    S2M stage (same clouds, same density) but with the WIDE loop gate: the
+    identity guess must swallow the accumulated drift between the two
+    visits, so the correspondence distance is ``posegraph.loop_corr_distance``
+    (2.0 m default) rather than S2M's tightly-guessed 0.5 m — under the
+    tight gate any revisit with >0.5 m drift finds few/no correspondences
+    and the edge is weight-zeroed exactly when loop closure is needed.
+    ``loop_max_iterations`` likewise extends the iteration budget for the
+    longer pull. ``lax.map`` keeps one GICP problem in flight at a time —
+    loop edges are few and off the hot path, so VMEM footprint beats
+    parallelism here.
     """
+    import dataclasses as _dc
+
     eye = jnp.eye(4, dtype=jnp.float32)
-    stage = cfg.gicp.s2m
+    stage = _dc.replace(
+        cfg.gicp.s2m,
+        max_correspondence_distance=cfg.posegraph.loop_corr_distance,
+        max_iterations=cfg.posegraph.loop_max_iterations,
+    )
 
     def one(args):
         e, m = args

@@ -194,7 +194,7 @@ def odom_frame(
     # land outside S2M's 0.5 m correspondence basin and diverge (judge-
     # bisected: ATE 3.3 m vs 0.001 m at production density).
     cs = max(1, int(cfg.gicp.s2s_coarse_stride))
-    while cs > 1 and (shapes.n_scan // cs) % 512 != 0:
+    while cs > 1 and (shapes.n_scan // cs) % morton.TARGET_CHUNK != 0:
         cs -= 1  # degrade to the nearest stride that keeps chunk alignment
     if cs > 1:
         coarse_src = gicp.GicpSource(
@@ -346,22 +346,33 @@ def odom_frame(
 
 def make_step_fns(
     cfg: DloConfig,
+    donate: bool = True,
 ) -> tuple[Callable, Callable]:
     """(init_fn, step_fn), both jitted, shapes fixed by ``cfg.shapes``.
 
     init_fn(state, raw_points, raw_mask) -> state
     step_fn(state, raw_points, raw_mask, imu_prior 4x4,
             hull_cvx [K], hull_ccv [K], hull_fresh) -> (state, FrameResult)
+
+    ``donate``: donate the carried state buffer (in-place ring update —
+    callers must never reuse a state after stepping it; pass False for
+    benchmarking tools that re-step the same state).
     """
     backend = resolve_backend(cfg)
     directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
-    init_fn = jax.jit(f32_matmuls(partial(init_frame, cfg, backend)))
+    # donate_argnums=0: the carried OdomState dominates HBM (the keyframe
+    # ring alone is ~200 MB at production shapes) and is threaded input ->
+    # output every step; donation lets XLA update it in place instead of
+    # copying the untouched ring slots each dispatch
+    dn = (0,) if donate else ()
+    init_fn = jax.jit(f32_matmuls(partial(init_frame, cfg, backend)),
+                      donate_argnums=dn)
 
     def step(state, pts, mask, imu_prior, hull_cvx, hull_ccv, hull_fresh):
         return odom_frame(cfg, backend, directions, state, pts, mask,
                           imu_prior, (hull_cvx, hull_ccv, hull_fresh))
 
-    return init_fn, jax.jit(f32_matmuls(step))
+    return init_fn, jax.jit(f32_matmuls(step), donate_argnums=dn)
 
 
 def make_quantized_step_fns(
@@ -389,7 +400,9 @@ def make_quantized_step_fns(
         return odom_frame(cfg, backend, directions, state, c.points, c.mask,
                           imu_prior, (hull_cvx, hull_ccv, hull_fresh))
 
-    return jax.jit(f32_matmuls(init_q)), jax.jit(f32_matmuls(step_q))
+    # donate_argnums=0: see make_step_fns
+    return (jax.jit(f32_matmuls(init_q), donate_argnums=0),
+            jax.jit(f32_matmuls(step_q), donate_argnums=0))
 
 
 def make_chunked_step_fn(cfg: DloConfig) -> Callable:
@@ -433,7 +446,8 @@ def make_chunked_step_fn(cfg: DloConfig) -> Callable:
                                   pts, mask, imu_prior, hull)
         return jax.lax.scan(body, state, tuple(stacked))
 
-    return jax.jit(f32_matmuls(chunk_fn))
+    # donate_argnums=0: see make_step_fns
+    return jax.jit(f32_matmuls(chunk_fn), donate_argnums=0)
 
 
 def fresh_state(cfg: DloConfig, initial_pose=None) -> OdomState:

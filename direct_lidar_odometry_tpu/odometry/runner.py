@@ -49,6 +49,7 @@ class OdometryRunner:
         )
         self._chunk_fn = None
         self._refine_fn = None
+        self._precompile_errors: list = []
         self._kf_at_refine = 0
         self._frames_since_refine_check = 0
         self.refine_log: list[dict] = []
@@ -117,8 +118,14 @@ class OdometryRunner:
         def bg(fn, args):
             try:
                 fn.lower(*args).compile()
-            except Exception:
-                pass  # best-effort: the foreground path compiles anyway
+            except Exception as e:  # best-effort: foreground compiles anyway
+                # surface drift between the abstract argument specs and the
+                # real step signature — a silent mismatch would disable the
+                # compile-overlap optimization with no signal
+                import sys as _sys
+
+                print(f"# precompile_async failed: {e!r}", file=_sys.stderr)
+                self._precompile_errors.append(e)
 
         jobs = [(self.step_fn, (state_abs, *wire, prior, *hull))]
         if chunk is not None and chunk > 1:
@@ -187,7 +194,9 @@ class OdometryRunner:
                 self._ikf[0] = self._reduce_xyzi(points)
             self._enqueue_hull_fetch(jnp.float32(cfg.keyframe.thresh_dist))
             self.prev_stamp = stamp
-            self.poses.append(self.state.pose)
+            # copy, not the state leaf: the next step donates the state and
+            # would invalidate a stored leaf reference
+            self.poses.append(jnp.copy(self.state.pose))
             self.stamps.append(stamp)
             self.stats.append(
                 FrameStats(stamp, (time.perf_counter() - t0) * 1e3, None)
@@ -390,7 +399,13 @@ class OdometryRunner:
             # it every frame would chase the queue tail and never be ready
             # under pipelined dispatch
             return
-        refs = (self.state.keyframes.positions, self.state.keyframes.count,
+        # device-side copies, NOT the state leaves themselves: the step fns
+        # donate the state, so by the time a slow async fetch resolves the
+        # original positions/count buffers may have been invalidated by the
+        # next dispatch. The copy is ~6 KB of device work enqueued after
+        # the producing step; its buffers are never donated.
+        refs = (jnp.copy(self.state.keyframes.positions),
+                jnp.copy(self.state.keyframes.count),
                 thresh_ref)
         for r in refs:
             try:

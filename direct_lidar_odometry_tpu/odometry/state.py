@@ -114,11 +114,14 @@ def empty_state(cfg: DloConfig, initial_pose: jnp.ndarray | None = None) -> Odom
     s_flat = submap_flat_size(cfg)
     backend = resolve_backend(cfg)
     pose = jnp.eye(4, dtype=jnp.float32) if initial_pose is None else initial_pose
+    # t_s2s must be a DISTINCT buffer: the step fns donate the state, and
+    # donating the same buffer via two pytree leaves is an error
+    t_s2s = jnp.array(pose, copy=True)
     empty_flat_pts = jnp.full((s_flat, 3), 1e6, jnp.float32)
     empty_flat_mask = jnp.zeros((s_flat,), bool)
     return OdomState(
         pose=pose,
-        t_s2s=pose,
+        t_s2s=t_s2s,
         last_delta=jnp.eye(4, dtype=jnp.float32),
         prev_points=jnp.full((n, 3), 1e6, jnp.float32),
         prev_mask=jnp.zeros((n,), bool),

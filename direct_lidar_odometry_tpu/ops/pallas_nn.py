@@ -259,9 +259,15 @@ def _pruned_kernel_body(
         off = pl.multiple_of(j * _BT_S, _BT_S)
         if t2_ref is not None:
             tmat = t_ref[0, :, pl.ds(off, _BT_S)]            # [3, BT_S]
+            # HIGHEST pins the multiplies to f32 regardless of the ambient
+            # jax.default_matmul_precision: with the default bf16 MXU passes
+            # the cross term carries ~0.4% relative error (tens of m^2 at
+            # map-scale coordinates), silently corrupting winner selection
+            # for direct callers outside the f32_matmuls-wrapped pipeline.
             g = jax.lax.dot_general(
                 qmat, tmat, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )                                                # [BQ, BT_S]
             t2 = t2_ref[0, 0, pl.ds(off, _BT_S)][None, :]
             # clamp: cancellation can go slightly negative, and the bit-

@@ -54,9 +54,50 @@ def rss_mb() -> float:
         return 0.0
 
 
+class CpuMonitor:
+    """Process CPU utilization between dashboard frames (reference
+    ``odom.cc:1386-1403``: ``times()`` deltas over wall-clock deltas).
+
+    ``sample()`` returns (cpu_percent_of_one_core, cores_used, n_cores):
+    a process burning 1.5 cores reports (150.0, 1.5, N). First call
+    returns zeros (no baseline interval yet).
+    """
+
+    def __init__(self) -> None:
+        self.n_cores = os.cpu_count() or 1
+        self._last = None  # (wall, user+sys) seconds
+
+    def sample(self) -> tuple[float, float, int]:
+        import time
+
+        t = os.times()
+        now = time.monotonic()
+        cur = (now, t.user + t.system)
+        if self._last is None:
+            self._last = cur
+            return 0.0, 0.0, self.n_cores
+        dw = cur[0] - self._last[0]
+        dc = cur[1] - self._last[1]
+        self._last = cur
+        if dw <= 0:
+            return 0.0, 0.0, self.n_cores
+        frac = dc / dw
+        return frac * 100.0, frac, self.n_cores
+
+
 def dashboard(frame_idx, position, quat, distance_traveled, timing: TimingStats,
-              num_keyframes, health=None) -> str:
-    """One-frame status block (reference ``debug()``, ``odom.cc:1338-1423``)."""
+              num_keyframes, health=None, cpu: CpuMonitor | None = None) -> str:
+    """One-frame status block (reference ``debug()``, ``odom.cc:1338-1423``).
+
+    ``cpu``: optional persistent :class:`CpuMonitor`; when given, the RAM
+    line gains the reference's CPU load / cores-used fields
+    (``odom.cc:1386-1403``)."""
+    if cpu is not None:
+        pct, cores, n = cpu.sample()
+        cpu_part = f"   CPU {pct:6.1f} % ({cores:4.2f}/{n} cores)"
+    else:
+        cpu_part = ""
+    ram_line = f"| RAM  {rss_mb():8.1f} MB{cpu_part}"
     lines = [
         "+" + "-" * 60 + "+",
         f"| DLO-TPU  frame {frame_idx:<6}  keyframes {num_keyframes:<5}" + " " * 17 + "|",
@@ -66,7 +107,7 @@ def dashboard(frame_idx, position, quat, distance_traveled, timing: TimingStats,
         + " " * 19 + "|",
         f"| dist {distance_traveled:8.2f} m   comp {timing.current:7.1f} ms "
         f"(avg {timing.average:7.1f})   |",
-        f"| RAM  {rss_mb():8.1f} MB" + " " * 41 + "|",
+        ram_line + " " * max(1, 61 - len(ram_line)) + "|",
     ]
     if health is not None:
         lines.append(

@@ -182,6 +182,83 @@ def test_loop_candidates_gap_and_radius():
         assert j < 14  # never an empty slot
 
 
+def test_drifted_revisit_needs_wide_gate():
+    """A revisit with ~1.2 m accumulated drift: the S2M 0.5 m gate rejects
+    the loop edge (few/no correspondences from the identity guess) while
+    the wired ``posegraph.loop_corr_distance`` 2.0 m gate closes it with
+    the correct relative measurement. Regression for the round-3 dead-knob
+    finding: register_loop_edges used cfg.gicp.s2m verbatim, disabling
+    loop closure exactly when drift exceeded 0.5 m."""
+    import dataclasses
+
+    from direct_lidar_odometry_tpu.config import DloConfig, ShapeConfig
+    from direct_lidar_odometry_tpu.odometry.state import KeyframeStore
+    from direct_lidar_odometry_tpu.registration import covariance
+
+    rng = np.random.default_rng(7)
+    # structured scene: three orthogonal noisy planes -> well-defined normals
+    n = 2048
+    pts = np.zeros((n, 3), np.float32)
+    third = n // 3
+    pts[:third, :2] = rng.uniform(-8, 8, (third, 2))            # floor z=0
+    pts[third : 2 * third, 1:] = rng.uniform(-8, 8, (third, 2))  # wall x=0
+    pts[third : 2 * third, 0] = 5.0
+    rest = n - 2 * third
+    pts[2 * third :, ::2] = rng.uniform(-8, 8, (rest, 2))        # wall y=0
+    pts[2 * third :, 1] = 5.0
+    pts += rng.normal(scale=0.01, size=pts.shape).astype(np.float32)
+    mask = np.ones((n,), bool)
+
+    nrm = covariance.estimate_normals_brute(
+        jnp.asarray(pts), jnp.asarray(mask), k=10, chunk=1024
+    )
+
+    # keyframe i: the true scene at the true pose (identity). keyframe j:
+    # the SAME scene re-observed after the loop, but stored drifted by D
+    # (odometry error) — both the stored cloud and the stored pose carry D.
+    drift = np.eye(4, dtype=np.float32)
+    drift[:3, 3] = [1.2, -0.4, 0.1]
+    pts_j = pts @ drift[:3, :3].T + drift[:3, 3]
+    x_j_stored = drift.copy()  # drifted pose estimate of the revisit
+
+    k_cap, nk = 4, n
+    store = KeyframeStore(
+        positions=jnp.asarray(
+            np.stack([np.zeros(3, np.float32), x_j_stored[:3, 3],
+                      np.zeros(3, np.float32), np.zeros(3, np.float32)])),
+        quats=jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (k_cap, 1)),
+        points=jnp.asarray(np.stack([pts, pts_j, pts, pts])),
+        masks=jnp.ones((k_cap, nk), bool),
+        normals=jnp.stack([nrm.normals] * k_cap),
+        normals_valid=jnp.stack([nrm.valid] * k_cap),
+        count=jnp.int32(2),
+    )
+    edges = jnp.asarray([[0, 1]], jnp.int32)
+    mask_e = jnp.asarray([True])
+
+    base = DloConfig().replace(
+        shapes=ShapeConfig(n_scan=n, n_keyframe=nk, max_keyframes=k_cap,
+                           grid_table_size=2 ** 12, submap_table_size=2 ** 12),
+    )
+    wide = loopclosure.register_loop_edges(store, edges, mask_e, base, "hashgrid")
+    assert float(wide.weight[0]) > 0, "wide loop gate failed to close the loop"
+    # measured dT must recover the drift: Z = X_i^-1 dT X_j with X_i = I,
+    # X_j = drift and dT ~ drift^-1  =>  Z ~ identity-translation residual
+    z = np.asarray(wide.rel[0])
+    assert np.linalg.norm(z[:3, 3]) < 0.05, z
+
+    tight = dataclasses.replace(
+        base, posegraph=dataclasses.replace(
+            base.posegraph, loop_corr_distance=0.5, loop_max_iterations=32))
+    narrow = loopclosure.register_loop_edges(store, edges, mask_e, tight, "hashgrid")
+    # under the tight gate the drifted revisit cannot be measured: either
+    # the edge is rejected outright or it grossly under-corrects the drift
+    if float(narrow.weight[0]) > 0:
+        z_n = np.asarray(narrow.rel[0])
+        assert np.linalg.norm(z_n[:3, 3]) > 0.3, (
+            "tight gate unexpectedly measured the full drift", z_n)
+
+
 def _loop_world(n_frames=40):
     """Synthetic world whose trajectory returns near its start."""
     from tests.test_pipeline import make_test_world

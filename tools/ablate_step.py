@@ -105,7 +105,7 @@ def main() -> None:
                      if cfg.imu.use else state.last_delta)
             # coarse-to-fine S2S, mirroring pipeline.odom_frame
             cs = max(1, int(cfg.gicp.s2s_coarse_stride))
-            while cs > 1 and (shapes.n_scan // cs) % 512 != 0:
+            while cs > 1 and (shapes.n_scan // cs) % morton.TARGET_CHUNK != 0:
                 cs -= 1
             if cs > 1:
                 coarse_src = gicp.GicpSource(scan.points[::cs], scan.mask[::cs],
@@ -173,7 +173,7 @@ def main() -> None:
         rows.append((stop, ms, ms - prev_ms))
         prev_ms = ms
 
-    _, full_step = pipeline.make_step_fns(cfg)
+    _, full_step = pipeline.make_step_fns(cfg, donate=False)
     ms_ref = timeit(full_step, state, pts, msk, eye, *no_hull)
     print(f"{'prefix':14s} {'cum ms':>8s} {'delta ms':>9s}")
     for name, ms, d in rows:

@@ -57,10 +57,18 @@ def main() -> None:
         runner.process_scan(s, world.stamps[t], sync=True)
     state = runner.state
     raw = synthetic.render_scan(world, frames, rng, max_range=max_range, max_points=max_pts)
-    pts = np.full((cfg.shapes.n_raw, 3), 1e6, np.float32)
-    msk = np.zeros((cfg.shapes.n_raw,), bool)
-    pts[: len(raw)] = raw
-    msk[: len(raw)] = True
+    # wire-capacity encode, matching the runner exactly: with
+    # cfg.host_preprocess the device step starts from <= n_scan Z-ordered
+    # voxel centroids (feeding the raw 131k capacity instead would profile
+    # a program the bench never runs — and overflows the cov kernel's
+    # SMEM candidate table)
+    prepped = runner._prep_points(raw)
+    cap = runner._wire_capacity()
+    pts = np.full((cap, 3), 1e6, np.float32)
+    msk = np.zeros((cap,), bool)
+    m = min(len(prepped), cap)
+    pts[:m] = prepped[:m, :3]
+    msk[:m] = True
     pts, msk = jnp.asarray(pts), jnp.asarray(msk)
     eye = jnp.eye(4, dtype=jnp.float32)
     directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
@@ -124,7 +132,7 @@ def main() -> None:
         return keyframes.maybe_spawn(st.keyframes, scan, pose,
                                      cfg, jnp.float32(5.0), backend)
 
-    full_init, full_step = pipeline.make_step_fns(cfg)
+    full_init, full_step = pipeline.make_step_fns(cfg, donate=False)
     rows = [
         ("preprocess+morton", timeit(pre, pts, msk)),
         ("normals", timeit(nrm_fn, scan)),
