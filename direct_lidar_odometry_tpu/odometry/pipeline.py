@@ -359,7 +359,7 @@ def make_step_fns(
     benchmarking tools that re-step the same state).
     """
     backend = resolve_backend(cfg)
-    directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
+    directions = hulls.fibonacci_directions(cfg.shapes.hull_directions)
     # donate_argnums=0: the carried OdomState dominates HBM (the keyframe
     # ring alone is ~200 MB at production shapes) and is threaded input ->
     # output every step; donation lets XLA update it in place instead of
@@ -388,7 +388,7 @@ def make_quantized_step_fns(
     from direct_lidar_odometry_tpu.core import cloud as cl
 
     backend = resolve_backend(cfg)
-    directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
+    directions = hulls.fibonacci_directions(cfg.shapes.hull_directions)
 
     def init_q(state, q, lo, scale, count):
         c = cl.dequantize(q, lo, scale, count)
@@ -425,7 +425,7 @@ def make_chunked_step_fn(cfg: DloConfig) -> Callable:
     from direct_lidar_odometry_tpu.core import cloud as cl
 
     backend = resolve_backend(cfg)
-    directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
+    directions = hulls.fibonacci_directions(cfg.shapes.hull_directions)
 
     def chunk_fn(state, *args):
         # trailing three args are the hull masks, constant for the chunk

@@ -47,7 +47,7 @@ def make_batched_fns(cfg: DloConfig) -> tuple[Callable, Callable]:
 
     cfg = cfg.replace(host_preprocess=False)
     backend = resolve_backend(cfg)
-    directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
+    directions = hulls.fibonacci_directions(cfg.shapes.hull_directions)
     init = jax.vmap(partial(pipeline.init_frame, cfg, backend))
     step = jax.vmap(partial(pipeline.odom_frame, cfg, backend, directions))
     return jax.jit(f32_matmuls(init)), jax.jit(f32_matmuls(step))

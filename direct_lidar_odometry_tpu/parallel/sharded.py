@@ -117,7 +117,7 @@ def make_sharded_step(cfg: DloConfig, mesh: Mesh, axis: str = "seq") -> Callable
     # single-sequence runner optimization (see parallel/batched.py)
     cfg = cfg.replace(host_preprocess=False)
     backend = resolve_backend(cfg)
-    directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
+    directions = hulls.fibonacci_directions(cfg.shapes.hull_directions)
     local_step = jax.vmap(partial(pipeline.odom_frame, cfg, backend, directions))
     spec = P(axis)
 

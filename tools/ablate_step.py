@@ -80,7 +80,7 @@ def main() -> None:
     msk[: min(len(raw), cap)] = True
     pts, msk = jnp.asarray(pts), jnp.asarray(msk)
     eye = jnp.eye(4, dtype=jnp.float32)
-    directions = jnp.asarray(hulls.fibonacci_directions(shapes.hull_directions))
+    directions = hulls.fibonacci_directions(shapes.hull_directions)
     no_hull = (jnp.zeros((shapes.max_keyframes,), bool),
                jnp.zeros((shapes.max_keyframes,), bool), jnp.asarray(False))
 

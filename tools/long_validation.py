@@ -8,7 +8,10 @@ accumulation — and reports ATE with and without refinement.
 Run on TPU (production shapes):   python tools/long_validation.py
 Quick CPU check (small shapes):   SMALL=1 LV_FRAMES=120 JAX_PLATFORMS=cpu \
                                       python tools/long_validation.py
-Prints one JSON line per configuration.
+DEGRADE=1 starves the GICP iteration budget (s2s/s2m max_iterations 3/2,
+noisier scans) to induce the drift regime real sensors hit — the synthetic
+worlds at full budget track at ~0.03 %/m where a loop-closure A/B cannot
+show anything. Prints one JSON line per configuration.
 """
 
 from __future__ import annotations
@@ -31,7 +34,16 @@ def main() -> None:
 
     small = bool(int(os.environ.get("SMALL", "0")))
     n_frames = int(os.environ.get("LV_FRAMES", "500"))
+    degrade = bool(int(os.environ.get("DEGRADE", "0")))
+    noise = float(os.environ.get("LV_NOISE", "0.03" if degrade else "0.01"))
     base = DloConfig().replace(s2s_prior="constant_velocity")
+    if degrade:
+        base = base.replace(gicp=dataclasses.replace(
+            base.gicp,
+            s2s=dataclasses.replace(base.gicp.s2s, max_iterations=3),
+            s2m=dataclasses.replace(base.gicp.s2m, max_iterations=2),
+            s2m_rescue=False,
+        ))
     if small:
         base = base.replace(
             shapes=ShapeConfig(
@@ -67,7 +79,8 @@ def main() -> None:
         t0 = time.perf_counter()
         for t in range(n_frames):
             scan = synthetic.render_scan(
-                world, t, srng, max_range=max_range, max_points=max_pts
+                world, t, srng, max_range=max_range, max_points=max_pts,
+                noise=noise,
             )
             runner.process_scan(scan, float(world.stamps[t]))
         if use_pg:
@@ -79,6 +92,8 @@ def main() -> None:
         wall = time.perf_counter() - t0
         print(json.dumps({
             "frames": n_frames,
+            "degrade": degrade,
+            "noise": noise,
             "posegraph": use_pg,
             "ate_rmse_m": round(float(ate.rmse), 4),
             "ate_max_m": round(float(ate.max), 4),

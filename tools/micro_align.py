@@ -127,7 +127,7 @@ def main() -> None:
     from direct_lidar_odometry_tpu.odometry import hulls, keyframes, submap
     from direct_lidar_odometry_tpu.core import se3
 
-    directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
+    directions = hulls.fibonacci_directions(cfg.shapes.hull_directions)
     nrm_fn = jax.jit(lambda s: pipeline._scan_normals(s, cfg, backend))
     tgt_fn = jax.jit(
         lambda st: gicp.make_target(

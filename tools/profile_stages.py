@@ -71,7 +71,7 @@ def main() -> None:
     msk[:m] = True
     pts, msk = jnp.asarray(pts), jnp.asarray(msk)
     eye = jnp.eye(4, dtype=jnp.float32)
-    directions = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
+    directions = hulls.fibonacci_directions(cfg.shapes.hull_directions)
 
     # stage fns
     pre = jax.jit(lambda p, m: pipeline.preprocess_scan(p, m, cfg, backend))
