@@ -124,6 +124,24 @@ class GicpConfig:
     # hence the mandatory polish stage now.) 1 disables the coarse stage.
     # n_scan // stride must stay a multiple of 512.
     s2s_coarse_stride: int = 4
+    # When False (and the coarse stage is active), the S2S result is the
+    # COARSE align alone — the full-resolution polish is skipped and the
+    # S2M stage is seeded directly from the strided estimate. This saves
+    # the single most expensive align of the step (~5 ms/frame at
+    # production shapes on v5e) at the cost of a less-polished S2M seed;
+    # round 2 shipped this unconditionally and diverged, but the staged-
+    # gate rescue (below) now catches exactly that failure (seed outside
+    # the 0.5 m S2M basin -> Mahalanobis trigger -> wide re-register).
+    # Benchmarked under the ATE gate before being made a default anywhere.
+    s2s_full_polish: bool = True
+    # Iteration cap for the coarse stage alone. The coarse align only
+    # produces a SEED; running it to the reference's full convergence
+    # criteria on a strided cloud spins the LM loop 8-18 iterations on
+    # hard (turning) frames chasing a noise floor the subsample cannot
+    # resolve (measured on the 93-frame bench world; 2-4 healthy). Eight
+    # iterations bound the tail without moving the seed materially —
+    # S2M's own convergence (and the rescue) absorb the difference.
+    s2s_coarse_max_iterations: int = 8
     # Staged-gate S2M rescue (framework robustness addition — the
     # reference prints "lm not converged!!" and carries on,
     # lsq_registration_impl.hpp:105-108). Plane-to-plane GICP can stall in
@@ -141,6 +159,19 @@ class GicpConfig:
     rescue_corr_distance: float = 1.5
     rescue_s2s_error: float = 1.0   # per-correspondence S2S error trigger
     rescue_s2m_error: float = 0.35  # per-correspondence S2M error trigger
+    # S2M is also unhealthy when it matched too small a fraction of the
+    # valid source points (a seed outside the 0.5 m basin can only match
+    # the accidental overlap; healthy frames sit at ~0.85)
+    rescue_min_corr_frac: float = 0.25
+    # The S2S alarm alone fires on ~4% of healthy frames (the strided
+    # coarse stage occasionally stalls at elevated error while S2M, seeded
+    # well enough, converges in 1 iteration with dense correspondences —
+    # measured on the 93-frame bench world) and each false positive costs
+    # a ~75 ms wide-gate re-register. It therefore only triggers the
+    # rescue when S2M shows corroborating stress: per-correspondence error
+    # above half the S2M threshold. True divergences (round-2 vector) show
+    # both signals; re-validated at 0.09 cm on that world after this gate.
+    rescue_s2m_corroborate: float = 0.5  # fraction of rescue_s2m_error
 
 
 @dataclass(frozen=True)

@@ -196,6 +196,7 @@ def odom_frame(
     cs = max(1, int(cfg.gicp.s2s_coarse_stride))
     while cs > 1 and (shapes.n_scan // cs) % morton.TARGET_CHUNK != 0:
         cs -= 1  # degrade to the nearest stride that keeps chunk alignment
+    coarse_res = None
     if cs > 1:
         coarse_src = gicp.GicpSource(
             points=scan.points[::cs], mask=scan.mask[::cs],
@@ -207,18 +208,31 @@ def odom_frame(
             cfg.gicp.s2s.max_correspondence_distance, shapes.grid_table_size,
             backend=backend,
         )
+        import dataclasses as _dcc
+
+        coarse_cfg = _dcc.replace(
+            cfg.gicp.s2s,
+            max_iterations=min(cfg.gicp.s2s_coarse_max_iterations,
+                               cfg.gicp.s2s.max_iterations),
+        )
         coarse_res = gicp.align(coarse_src, coarse_target, guess,
-                                cfg.gicp.s2s, cap=shapes.cell_cap_1nn,
+                                coarse_cfg, cap=shapes.cell_cap_1nn,
                                 backend=backend)
         guess = coarse_res.transform
-    s2s_target = gicp.make_target(
-        state.prev_points, state.prev_mask,
-        state.prev_normals, state.prev_normals_valid,
-        cfg.gicp.s2s.max_correspondence_distance, shapes.grid_table_size,
-        backend=backend,
-    )
-    s2s_res = gicp.align(src, s2s_target, guess, cfg.gicp.s2s,
-                         cap=shapes.cell_cap_1nn, backend=backend)
+    if coarse_res is not None and not cfg.gicp.s2s_full_polish:
+        # coarse-only S2S (see GicpConfig.s2s_full_polish): the strided
+        # estimate seeds S2M directly; the staged-gate rescue below is the
+        # safety net for seeds that land outside the S2M basin
+        s2s_res = coarse_res
+    else:
+        s2s_target = gicp.make_target(
+            state.prev_points, state.prev_mask,
+            state.prev_normals, state.prev_normals_valid,
+            cfg.gicp.s2s.max_correspondence_distance, shapes.grid_table_size,
+            backend=backend,
+        )
+        s2s_res = gicp.align(src, s2s_target, guess, cfg.gicp.s2s,
+                             cap=shapes.cell_cap_1nn, backend=backend)
 
     # --- propagate S2S into the global frame (odom.cc:812, 926-943) ---
     t_s2s_global = state.t_s2s @ s2s_res.transform
@@ -263,11 +277,22 @@ def odom_frame(
             s2s_res.num_correspondences, 1).astype(jnp.float32)
         s2m_per = s2m_res.final_error / jnp.maximum(
             s2m_res.num_correspondences, 1).astype(jnp.float32)
-        need = (
-            (s2s_per > cfg.gicp.rescue_s2s_error)
-            | (s2m_per > cfg.gicp.rescue_s2m_error)
+        # S2M-unhealthy signals fire unconditionally; the S2S alarm needs
+        # S2M corroboration (see GicpConfig.rescue_s2m_corroborate — the
+        # bare S2S alarm false-positives on ~4% of healthy frames at a
+        # ~75 ms wide-gate cost each)
+        n_valid_src = jnp.maximum(
+            jnp.sum(src.mask.astype(jnp.int32)), 1).astype(jnp.float32)
+        corr_frac = s2m_res.num_correspondences.astype(jnp.float32) / n_valid_src
+        s2m_unhealthy = (
+            (s2m_per > cfg.gicp.rescue_s2m_error)
+            | (corr_frac < cfg.gicp.rescue_min_corr_frac)
             | (s2m_res.num_correspondences == 0)
         )
+        s2s_alarm = (s2s_per > cfg.gicp.rescue_s2s_error) & (
+            s2m_per > cfg.gicp.rescue_s2m_corroborate * cfg.gicp.rescue_s2m_error
+        )
+        need = s2m_unhealthy | s2s_alarm
         wide_cfg = _dc.replace(
             cfg.gicp.s2m,
             max_correspondence_distance=cfg.gicp.rescue_corr_distance,
