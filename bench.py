@@ -33,21 +33,27 @@ def production_cfg(small: bool = False):
     base = DloConfig()
     # Bench operating point (each knob A/B'd on TPU under the ATE gate and
     # re-validated on the round-2 divergence vector, --cpu --frames 45
-    # --chunk 1 -> 0.09 cm — see BASELINE.md round-4 staircase):
+    # --chunk 1 — see BASELINE.md round-4 staircase):
     # - coarse-only S2S at stride 8 (subsample seeds S2M directly; the
     #   staged-gate rescue is the safety net): drops the most expensive
-    #   align of the step; 69 -> 95 fps cumulative, ATE 0.38 -> 0.36 cm
-    # - submap flat budget 49152 (prune keeps the points nearest the
-    #   pose): -25% S2M search per iteration, ATE 0.35 cm
-    # Combined: 97.9 fps wall-avg, ATE 0.33 cm on the 93-frame world.
-    # The library defaults keep the full-resolution polish and the 65k
-    # budget (reference parity); this is the tuned offline configuration.
+    #   align of the step (69 -> 95 fps cumulative)
+    # - n_scan 16384: the Bresenham voxel subsample at half the 32k budget
+    #   measured BETTER ATE (0.26 vs 0.33 cm; 12288 is past the floor at
+    #   0.42) — spatially uniform thinning trades redundant plane points
+    #   for speed on every downstream stage
+    # - submap flat budget 32768 = two keyframes' worth nearest the pose
+    #   (49152 -> no ATE cost; 24576 is no faster)
+    # Combined: 137-166 fps wall-avg across repeats, ATE 0.19 cm on the
+    # 93-frame world; round-2 divergence vector ATE 0.15 cm.
+    # The library defaults keep the full-resolution polish and the larger
+    # budgets (reference parity); this is the tuned offline configuration.
     base = base.replace(
         s2s_prior="constant_velocity",
         host_preprocess=True,
         gicp=dataclasses.replace(
             base.gicp, s2s_full_polish=False, s2s_coarse_stride=8),
-        shapes=dataclasses.replace(base.shapes, n_submap_flat=49152),
+        shapes=dataclasses.replace(
+            base.shapes, n_scan=16384, n_submap_flat=32768),
     )
     if small:
         return base.replace(

@@ -454,7 +454,9 @@ def make_chunked_step_fn(cfg: DloConfig) -> Callable:
 
     def chunk_fn(state, *args):
         # trailing three args are the hull masks, constant for the chunk
-        # (staleness <= chunk length — documented in hosthull.py)
+        # (staleness <= chunk length; MEASURED harmless: chunk 1/8/16/32
+        # give identical ATE (0.0040 m) on a 96-frame constantly-turning
+        # closed loop with 2 m keyframe spacing — tools/staleness_sweep.py)
         *stacked, hull_cvx, hull_ccv, hull_fresh = args
         hull = (hull_cvx, hull_ccv, hull_fresh)
 
