@@ -133,6 +133,8 @@ def insert(
     quat: jnp.ndarray,
     cloud: PointCloud,
     normals: covariance.Normals,
+    seq: jnp.ndarray | None = None,
+    health: jnp.ndarray | None = None,
 ) -> tuple[KeyframeStore, jnp.ndarray]:
     """Append at ``count``; at capacity, evict the most redundant keyframe
     (see :func:`_eviction_slot`) instead of silently dropping the new one.
@@ -158,6 +160,17 @@ def insert(
         normals=write(kf.normals, normals.normals),
         normals_valid=write(kf.normals_valid, normals.valid),
         count=jnp.where(full, kf.count, kf.count + 1),
+        # monotonic insertion id (empty slots carry -1, so the default
+        # first insert gets 0); keeps trajectory order recoverable after
+        # eviction rewrites slots — see KeyframeStore.seq. The pipeline
+        # passes the SPAWN FRAME INDEX, which additionally gives exact
+        # keyframe <-> ground-truth association for evaluation.
+        seq=write(kf.seq, jnp.max(kf.seq) + 1 if seq is None
+                  else jnp.asarray(seq, jnp.int32)),
+        # spawn-frame odometry health (0 = unknown/healthy) — feeds the
+        # information-weighted chain prior of the pose-graph refinement
+        health=write(kf.health, jnp.float32(0.0) if health is None
+                     else jnp.asarray(health, jnp.float32)),
     ), full, idx
 
 
@@ -168,16 +181,21 @@ def maybe_spawn(
     cfg: DloConfig,
     thresh_dist: jnp.ndarray,
     backend: str = "hashgrid",
+    seq: jnp.ndarray | None = None,
+    health: jnp.ndarray | None = None,
 ) -> tuple[KeyframeStore, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full updateKeyframes step. Returns (store, spawned, evicted, slot);
-    slot is the written ring index, or -1 when no keyframe spawned."""
+    slot is the written ring index, or -1 if no keyframe spawned.
+    ``seq``: insertion id recorded for the new keyframe (the pipeline
+    passes the frame index — see KeyframeStore.seq). ``health``: spawn
+    frame's S2M per-correspondence error (see KeyframeStore.health)."""
     position = se3.se3_translation(pose)
     quat = se3.rotmat_to_quat(se3.se3_rotation(pose))
     dec = decide(kf, position, quat, thresh_dist, cfg.keyframe.thresh_rot)
 
     def spawn(_):
         cloud, nrm = make_keyframe_cloud(scan, pose, cfg, backend)
-        return insert(kf, position, quat, cloud, nrm)
+        return insert(kf, position, quat, cloud, nrm, seq=seq, health=health)
 
     def keep(_):
         return kf, jnp.asarray(False), jnp.int32(-1)

@@ -36,7 +36,9 @@ def build_map(
     return voxel.voxel_downsample(flat, leaf_size, out_capacity=cap)
 
 
-build_map_jit = jax.jit(build_map, static_argnums=(1, 2))
+from direct_lidar_odometry_tpu.utils.precision import f32_matmuls as _f32
+
+build_map_jit = jax.jit(_f32(build_map), static_argnums=(1, 2))
 
 
 def _quat_to_rotmat_np(q):

@@ -123,7 +123,8 @@ def init_frame(
     cloud_kf, nrm_kf = keyframes.make_keyframe_cloud(scan, state.pose, cfg, backend)
     position = se3.se3_translation(state.pose)
     quat = se3.rotmat_to_quat(se3.se3_rotation(state.pose))
-    kf, _, _ = keyframes.insert(state.keyframes, position, quat, cloud_kf, nrm_kf)
+    kf, _, _ = keyframes.insert(state.keyframes, position, quat, cloud_kf,
+                                nrm_kf, seq=state.frame_idx)
     return state._replace(
         prev_points=scan.points,
         prev_mask=scan.mask,
@@ -323,8 +324,13 @@ def odom_frame(
                      t_s2s_global)
 
     # --- keyframing (odom.cc:678, 1097-1181) ---
+    # spawn-frame odometry health for the information-weighted chain prior
+    # (KeyframeStore.health): S2M per-correspondence error of this frame
+    s2m_health = s2m_res.final_error / jnp.maximum(
+        s2m_res.num_correspondences, 1).astype(jnp.float32)
     kf, spawned, kf_evicted, kf_slot = keyframes.maybe_spawn(
-        state.keyframes, scan, pose, cfg, thresh_dist, backend
+        state.keyframes, scan, pose, cfg, thresh_dist, backend,
+        seq=state.frame_idx, health=s2m_health,
     )
     # eviction rewrites a slot under a possibly-unchanged membership mask;
     # clearing the cached members forces a submap rebuild next frame so the

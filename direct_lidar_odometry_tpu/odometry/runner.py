@@ -499,10 +499,19 @@ class OdometryRunner:
         if self._refine_fn is None:
             import jax
 
+            from direct_lidar_odometry_tpu.utils.precision import f32_matmuls
+
             backend = resolve_backend(cfg)
-            self._refine_fn = jax.jit(
+            # f32_matmuls is NOT optional here: without it the refinement
+            # traces with TPU-default bf16 matmuls, which corrupts the
+            # chain relative poses by ~0.2 m (19 m translations at 8-bit
+            # mantissa) and the measured loop rotations by 3-5 degrees —
+            # root cause of the round-4 finding that refinement made the
+            # keyframe map WORSE (0.084 -> 0.199 m mean error); with f32
+            # the same closure repairs it (see BASELINE.md).
+            self._refine_fn = jax.jit(f32_matmuls(
                 lambda st: loopclosure.refine_and_reanchor(st, cfg, backend)
-            )
+            ))
         t0 = time.perf_counter()
         self.state, info = self._refine_fn(self.state)
         self._kf_at_refine = n_kf

@@ -34,6 +34,22 @@ class KeyframeStore(NamedTuple):
     normals: jnp.ndarray        # [K, Nk, 3] cached normals (odom.cc:1324 role)
     normals_valid: jnp.ndarray  # [K, Nk]
     count: jnp.ndarray          # int32
+    # Monotonic insertion sequence number per slot (-1 = never written).
+    # After eviction rewrites a slot, SLOT order no longer reflects
+    # trajectory order — the loop-closure chain prior and the revisit
+    # index-gap test must order keyframes by ``seq``, not slot (measured:
+    # a slot-order chain prior ROUTED a loop correction wrongly and
+    # doubled the keyframe map error on a 300-frame evicting run).
+    seq: jnp.ndarray            # [K] int32
+    # Odometry health at spawn time: the spawn frame's S2M
+    # per-correspondence Mahalanobis error (~0.08 healthy, multiples of
+    # that through degraded stretches). Pose-graph refinement weights its
+    # chain prior by this (information-weighted PGO): without it the
+    # solver spreads a loop correction UNIFORMLY around the trajectory,
+    # dragging accurate keyframes off while fixing drifted ones (measured:
+    # mean keyframe map error 0.084 -> 0.199 m on a burst-drift run with
+    # uniform weights; the closure region itself repaired 0.23 -> 0.01).
+    health: jnp.ndarray         # [K] f32
 
     @property
     def capacity(self) -> int:
@@ -105,6 +121,8 @@ def empty_keyframes(cfg: DloConfig) -> KeyframeStore:
         normals=jnp.zeros((k, nk, 3), jnp.float32),
         normals_valid=jnp.zeros((k, nk), bool),
         count=jnp.int32(0),
+        seq=jnp.full((k,), -1, jnp.int32),
+        health=jnp.zeros((k,), jnp.float32),
     )
 
 

@@ -91,6 +91,8 @@ def test_selection_uses_host_masks():
         normals=jnp.zeros((k, 4, 3), jnp.float32),
         normals_valid=jnp.zeros((k, 4), bool),
         count=jnp.int32(k),
+        seq=jnp.arange(k, dtype=jnp.int32),
+        health=jnp.zeros((k,), jnp.float32),
     )
     dirs = jnp.asarray(hulls.fibonacci_directions(cfg.shapes.hull_directions))
     q = jnp.asarray(p[k // 2])

@@ -25,6 +25,8 @@ def _store(positions: np.ndarray, nk: int = 64) -> KeyframeStore:
         normals=jnp.zeros((k, nk, 3), jnp.float32),
         normals_valid=jnp.ones((k, nk), bool),
         count=jnp.int32(k),
+        seq=jnp.arange(k, dtype=jnp.int32),
+        health=jnp.zeros((k,), jnp.float32),
     )
 
 

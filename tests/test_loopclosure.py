@@ -169,6 +169,8 @@ def test_loop_candidates_gap_and_radius():
         normals=jnp.zeros((k, 4, 3), jnp.float32),
         normals_valid=jnp.zeros((k, 4), bool),
         count=jnp.int32(14),
+        seq=jnp.arange(k, dtype=jnp.int32),
+        health=jnp.zeros((k,), jnp.float32),
     )
     edges, mask = loopclosure.loop_candidates(
         store, loop_radius=2.0, min_index_gap=8, max_loops=4
@@ -180,6 +182,73 @@ def test_loop_candidates_gap_and_radius():
         assert j - i >= 8
         assert np.linalg.norm(pos[i] - pos[j]) < 2.0
         assert j < 14  # never an empty slot
+
+
+def test_refinement_repairs_drifted_ring():
+    """build_refinement_graph + refine on a drifted keyframe RING (store
+    level, exact loop measurements): per-keyframe error vs ground truth
+    must DECREASE. Regression for two round-4 findings: (a) the slot-order
+    chain prior mis-routed corrections after eviction (seq ordering), and
+    (b) an unweighted chain spread a localized correction uniformly,
+    dragging accurate keyframes off GT (health weighting). Also exercised
+    with slots stored in SHUFFLED order to emulate eviction rewrites."""
+    from direct_lidar_odometry_tpu.odometry.state import KeyframeStore
+
+    rng = np.random.default_rng(4)
+    k = 40
+    radius = 12.0
+    gt = np.zeros((k, 4, 4))
+    for t in range(k):
+        a = 2 * np.pi * t / k
+        gt[t] = np.eye(4)
+        gt[t, :3, :3] = _rodrigues(np.array([0, 0, a + np.pi / 2]))
+        gt[t, :3, 3] = [radius * np.cos(a), radius * np.sin(a), 0.0]
+    gt = np.linalg.inv(gt[0])[None] @ gt
+    # drift burst: keyframes 12..20 accumulate translation error, which
+    # then persists to the end of the ring
+    est = gt.copy()
+    drift = np.zeros(3)
+    healths = np.full(k, 0.08, np.float32)
+    for t in range(12, 20):
+        drift += rng.normal(scale=0.02, size=3)
+        healths[t] = 0.8  # degraded odometry during the burst
+    for t in range(12, k):
+        est[t, :3, 3] = gt[t, :3, 3] + drift * min(1.0, (t - 11) / 8.0)
+
+    perm = rng.permutation(k)  # slot order != trajectory order (eviction)
+    inv_perm = np.argsort(perm)
+    store = KeyframeStore(
+        positions=jnp.asarray(est[perm, :3, 3], jnp.float32),
+        quats=jnp.asarray(np.stack([
+            np.asarray(se3.rotmat_to_quat(jnp.asarray(est[p, :3, :3],
+                                                      jnp.float32)))
+            for p in perm]), jnp.float32),
+        points=jnp.zeros((k, 4, 3), jnp.float32),
+        masks=jnp.zeros((k, 4), bool),
+        normals=jnp.zeros((k, 4, 3), jnp.float32),
+        normals_valid=jnp.zeros((k, 4), bool),
+        count=jnp.int32(k),
+        seq=jnp.asarray(perm, jnp.int32),
+        health=jnp.asarray(healths[perm]),
+    )
+    # one exact loop edge: first and last keyframes (slots via inv_perm)
+    i_slot, j_slot = int(inv_perm[0]), int(inv_perm[k - 1])
+    z = np.linalg.inv(gt[0]) @ gt[k - 1]
+    loops = loopclosure.LoopEdges(
+        edges=jnp.asarray([[i_slot, j_slot]], jnp.int32),
+        mask=jnp.asarray([True]),
+        rel=jnp.asarray(z[None], jnp.float32),
+        weight=jnp.asarray([2.0], jnp.float32),
+        num_corr=jnp.asarray([1000], jnp.int32),
+    )
+    graph = loopclosure.build_refinement_graph(store, loops, chain_weight=1.0)
+    new_poses, _err = posegraph.refine(graph, iterations=10)
+    new_pos = np.asarray(new_poses)[:, :3, 3]
+    err_before = np.linalg.norm(est[perm, :3, 3] - gt[perm, :3, 3], axis=-1)
+    err_after = np.linalg.norm(new_pos - gt[perm, :3, 3], axis=-1)
+    assert err_after.mean() < 0.7 * err_before.mean(), (
+        err_before.mean(), err_after.mean())
+    assert err_after.max() < err_before.max()
 
 
 def test_drifted_revisit_needs_wide_gate():
@@ -232,6 +301,8 @@ def test_drifted_revisit_needs_wide_gate():
         normals=jnp.stack([nrm.normals] * k_cap),
         normals_valid=jnp.stack([nrm.valid] * k_cap),
         count=jnp.int32(2),
+        seq=jnp.arange(k_cap, dtype=jnp.int32),
+        health=jnp.zeros((k_cap,), jnp.float32),
     )
     edges = jnp.asarray([[0, 1]], jnp.int32)
     mask_e = jnp.asarray([True])

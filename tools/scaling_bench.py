@@ -101,6 +101,7 @@ def main() -> None:
         states = out[0]
 
         times = []
+        skews = []
         for t in range(2, frames):
             pts, mask = scans_for(b, t)
             pts, mask = jnp.asarray(pts), jnp.asarray(mask)
@@ -108,12 +109,25 @@ def main() -> None:
             states, res, mean_corr, max_err = step(states, pts, mask, eye)
             np.asarray(res.position)
             times.append(time.perf_counter() - t0)
+            # Dispatch-skew proxy: the step's cost is dominated by data-
+            # dependent while_loop trip counts, and a sharded step
+            # completes at its SLOWEST shard. Per-device iteration totals
+            # (s2s+s2m, summed over the device's sequences) bound the
+            # work imbalance the mesh pays; (max-min)/mean is the
+            # fractional skew a real pod would see on this workload.
+            it = (np.asarray(res.s2s_iterations, np.float64)
+                  + np.asarray(res.s2m_iterations, np.float64))
+            per_dev = it.reshape(n, -1).sum(axis=1)
+            skews.append((per_dev.max() - per_dev.min())
+                         / max(per_dev.mean(), 1e-9))
         med = float(np.median(times))
         fps = b / med
         results.append((n, b, med * 1e3, fps))
         print(json.dumps({
             "devices": n, "batch": b, "ms_per_step": round(med * 1e3, 1),
             "aggregate_fps": round(fps, 2),
+            "iter_skew_frac_mean": round(float(np.mean(skews)), 3),
+            "iter_skew_frac_max": round(float(np.max(skews)), 3),
         }))
 
     base = results[0][3]
