@@ -38,6 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--traj-kitti", default="trajectory_kitti.txt")
     ap.add_argument("--traj-tum", default="trajectory_tum.txt")
     ap.add_argument("--map-ply", default=None, help="export map as PLY")
+    ap.add_argument("--map-live", action="store_true",
+                    help="with --map-ply: additionally re-export the map "
+                         "every 1/map.publish_freq seconds of DATA time "
+                         "during the run — the in-process analog of the "
+                         "reference's periodically published map topic "
+                         "(map.cc:100-131). Each export synchronizes the "
+                         "pipeline and rebuilds the map, so it costs "
+                         "throughput; the final map is written either way.")
     ap.add_argument("--checkpoint", default=None, help="save state here at exit")
     ap.add_argument("--resume", default=None, help="restore state from checkpoint")
     ap.add_argument("--eval", action="store_true",
@@ -148,11 +156,22 @@ def main(argv=None) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     distance = 0.0
     last_pos = None
+    next_map_stamp = None  # --map-live schedule (cfg.map.publish_freq Hz)
     for i, (scan, stamp) in enumerate(frames()):
         if stop["flag"]:
             print("interrupted — writing outputs", file=sys.stderr)
             break
         res = runner.process_scan(scan, stamp)
+        if (args.map_live and args.map_ply and cfg.map.publish_freq > 0
+                and runner.state is not None):
+            if next_map_stamp is None:
+                next_map_stamp = stamp + 1.0 / cfg.map.publish_freq
+            elif stamp >= next_map_stamp:
+                m_live = runner.build_map()
+                ply.write_ply(os.path.join(args.out_dir, args.map_ply), m_live)
+                print(f"[map] frame {i}: {len(m_live)} points -> "
+                      f"{args.map_ply}", file=sys.stderr)
+                next_map_stamp = stamp + 1.0 / cfg.map.publish_freq
         timing.push(runner.stats[-1].wall_ms if runner.stats else 0.0)
         if not args.quiet:
             # distance tracking reads the pose (device sync); quiet runs
