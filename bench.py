@@ -68,25 +68,30 @@ def production_cfg(small: bool = False):
 
 
 def make_bench_world(n_frames: int, rng: np.random.Generator, small: bool):
+    """Returns (world, max_range, max_points, beams).
+
+    Since round 5 the bench world is an urban-corridor BoxWorld rendered
+    by EXACT ray casting through a spinning-scanner beam model
+    (synthetic.render_raycast: 64 beams x 2048 azimuth steps = HDL-64
+    class, ~115-120k returns/sweep at 91% fill, true occlusion, radial
+    noise, moving boxes). The round-1..4 point-soup world saw every
+    surface through walls and had no beam structure (round-4 verdict
+    item 2); its numbers are not comparable.
+    """
     from direct_lidar_odometry_tpu.io import synthetic
 
     if small:
-        return synthetic.make_world(
-            rng, n_frames=n_frames, extent=15.0, n_boxes=6, speed=0.4,
-            ground_points=8000, density=6.0,
-        ), 13.0, 8192
-    # KITTI-class density: ~80-110k visible points per 40 m scan, sized so
-    # render_scan never randomly subsamples (subsampled scans are near-
-    # disjoint point sets and alias scan matching — see synthetic.make_world).
-    # The world extent scales with the frame count so long runs never walk
-    # off the populated region (the wandering trajectory covers ~speed *
-    # n_frames metres); ground density is held constant.
-    extent = max(60.0, 1.0 * n_frames * 1.1 + 20.0)
-    scale = (extent / 60.0) ** 2
-    return synthetic.make_world(
-        rng, n_frames=n_frames, extent=extent, n_boxes=int(40 * scale),
-        speed=1.0, ground_points=int(150000 * scale), density=25.0,
-    ), 40.0, 131072
+        beams = synthetic.BeamModel(n_beams=32, n_azimuth=512)
+        world = synthetic.make_urban_world(
+            rng, n_frames=n_frames, speed=0.4, corridor=7.0, n_dynamic=1,
+        )
+        return world, 13.0, 8192, beams
+    beams = synthetic.BeamModel(n_azimuth=2048)
+    world = synthetic.make_urban_world(
+        rng, n_frames=n_frames, speed=1.0,
+        n_dynamic=max(2, n_frames // 25),
+    )
+    return world, 40.0, 131072, beams
 
 
 def run_batched(args) -> None:
@@ -100,7 +105,7 @@ def run_batched(args) -> None:
     cfg = production_cfg(args.small)
     b = args.batch
     rng = np.random.default_rng(0)
-    world, max_range, max_pts = make_bench_world(args.frames, rng, args.small)
+    world, max_range, max_pts, beams = make_bench_world(args.frames, rng, args.small)
     init_fn, step_fn = batched.make_batched_fns(cfg)
     states = batched.batched_state(cfg, b)
 
@@ -115,7 +120,7 @@ def run_batched(args) -> None:
         for i in range(b):
             s = synthetic.render_scan(
                 world, t, np.random.default_rng(100 + i),
-                max_range=max_range, max_points=max_pts,
+                max_range=max_range, max_points=max_pts, beams=beams,
             )
             pts[i, : len(s)] = s
             mask[i, : len(s)] = True
@@ -229,10 +234,11 @@ def main() -> None:
     runner = OdometryRunner(cfg)
     precompile_threads = runner.precompile_async(chunk=args.chunk)
 
-    world, max_range, max_pts = make_bench_world(args.frames, rng, args.small)
+    world, max_range, max_pts, beams = make_bench_world(args.frames, rng, args.small)
     print("# rendering scans (overlapping background compiles)...", file=sys.stderr)
     scans = [
-        synthetic.render_scan(world, t, rng, max_range=max_range, max_points=max_pts)
+        synthetic.render_scan(world, t, rng, max_range=max_range,
+                              max_points=max_pts, beams=beams)
         for t in range(args.frames)
     ]
     print(

@@ -604,6 +604,56 @@ void preprocess(const std::vector<V3>& in, float crop, float res,
 }
 
 // ---------------------------------------------------------------------------
+// Morton-ordered uniform thinning (--thin N): the same spatially uniform
+// Bresenham stride along the Z-curve the TPU pipeline uses when the voxeled
+// cloud exceeds its static n_scan budget (ops/voxel.py
+// voxel_downsample_morton) — offered to the CPU baseline so the two sides
+// can be measured at the SAME per-frame point budget (same-work protocol,
+// round-4 verdict item 1).
+// ---------------------------------------------------------------------------
+
+static inline uint32_t expand10(uint32_t v) {
+  v &= 0x3FF;
+  v = (v | (v << 16)) & 0x030000FF;
+  v = (v | (v << 8)) & 0x0300F00F;
+  v = (v | (v << 4)) & 0x030C30C3;
+  v = (v | (v << 2)) & 0x09249249;
+  return v;
+}
+
+void thin_morton(std::vector<V3>& pts, size_t cap, float res) {
+  const size_t n = pts.size();
+  if (n <= cap || cap == 0) return;
+  float mn[3] = {1e30f, 1e30f, 1e30f};
+  for (const V3& p : pts) {
+    mn[0] = std::fmin(mn[0], p.x);
+    mn[1] = std::fmin(mn[1], p.y);
+    mn[2] = std::fmin(mn[2], p.z);
+  }
+  const float inv = 1.0f / res;
+  std::vector<std::pair<uint32_t, uint32_t>> keys(n);
+  for (size_t i = 0; i < n; ++i) {
+    const V3& p = pts[i];
+    const uint32_t ix =
+        (uint32_t)std::fmin(std::fmax((p.x - mn[0]) * inv, 0.0f), 1023.0f);
+    const uint32_t iy =
+        (uint32_t)std::fmin(std::fmax((p.y - mn[1]) * inv, 0.0f), 1023.0f);
+    const uint32_t iz =
+        (uint32_t)std::fmin(std::fmax((p.z - mn[2]) * inv, 0.0f), 1023.0f);
+    keys[i] = {(expand10(ix) << 2) | (expand10(iy) << 1) | expand10(iz),
+               (uint32_t)i};
+  }
+  std::sort(keys.begin(), keys.end());
+  std::vector<V3> out;
+  out.reserve(cap);
+  // keep segment i iff floor(i*cap/n) increments — an even stride along a
+  // space-filling curve is an even stride through space
+  for (size_t i = 0; i < n; ++i)
+    if ((uint64_t)i * cap % n < cap) out.push_back(pts[keys[i].second]);
+  pts.swap(out);
+}
+
+// ---------------------------------------------------------------------------
 // Pipeline state
 // ---------------------------------------------------------------------------
 
@@ -820,11 +870,14 @@ int main(int argc, char** argv) {
   const char* out_path = nullptr;
   bool cv_prior = false;
   int threads = 0;
+  long thin = 0;
   for (int i = 1; i < argc; ++i) {
     if (!std::strcmp(argv[i], "--cv"))
       cv_prior = true;
     else if (!std::strcmp(argv[i], "--threads") && i + 1 < argc)
       threads = std::atoi(argv[++i]);
+    else if (!std::strcmp(argv[i], "--thin") && i + 1 < argc)
+      thin = std::atol(argv[++i]);
     else if (!in_path)
       in_path = argv[i];
     else
@@ -832,7 +885,8 @@ int main(int argc, char** argv) {
   }
   if (!in_path || !out_path) {
     std::fprintf(stderr,
-                 "usage: dlo_baseline [--cv] [--threads N] scans.bin traj.bin\n");
+                 "usage: dlo_baseline [--cv] [--threads N] [--thin N] "
+                 "scans.bin traj.bin\n");
     return 2;
   }
   if (threads > 0) omp_set_num_threads(threads);
@@ -869,6 +923,7 @@ int main(int argc, char** argv) {
     const auto t0 = std::chrono::steady_clock::now();
     std::vector<V3> pp;
     preprocess(scans[t], 1.0f, 0.25f, pp);
+    if (thin > 0) thin_morton(pp, (size_t)thin, 0.25f);
     M4 p;
     odo.step(pp, &p);
     const auto t1 = std::chrono::steady_clock::now();
@@ -895,7 +950,7 @@ int main(int argc, char** argv) {
       std::accumulate(sorted.begin(), sorted.end(), 0.0) / sorted.size();
   std::printf(
       "{\"frames\": %ld, \"median_ms\": %.2f, \"mean_ms\": %.2f, "
-      "\"fps\": %.2f, \"threads\": %d}\n",
-      (long)n_frames, med, mean, 1000.0 / med, omp_get_max_threads());
+      "\"fps\": %.2f, \"threads\": %d, \"thin\": %ld}\n",
+      (long)n_frames, med, mean, 1000.0 / med, omp_get_max_threads(), thin);
   return 0;
 }

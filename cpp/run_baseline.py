@@ -48,15 +48,21 @@ def main() -> None:
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--cv", action="store_true")
     ap.add_argument("--threads", type=int, default=0)
+    ap.add_argument("--thin", type=int, default=0,
+                    help="Morton-ordered uniform thinning of the voxeled "
+                         "scan to N points — the same budget cap the TPU "
+                         "pipeline applies (same-work protocol)")
     args = ap.parse_args()
 
     import bench
     from direct_lidar_odometry_tpu.io import evaluation, synthetic
 
     rng = np.random.default_rng(0)
-    world, max_range, max_pts = bench.make_bench_world(args.frames, rng, args.small)
+    world, max_range, max_pts, beams = bench.make_bench_world(
+        args.frames, rng, args.small)
     scans = [
-        synthetic.render_scan(world, t, rng, max_range=max_range, max_points=max_pts)
+        synthetic.render_scan(world, t, rng, max_range=max_range,
+                              max_points=max_pts, beams=beams)
         for t in range(args.frames)
     ]
     print(f"# {len(scans)} scans, mean {np.mean([len(s) for s in scans]):.0f} pts",
@@ -71,6 +77,8 @@ def main() -> None:
             cmd.append("--cv")
         if args.threads:
             cmd += ["--threads", str(args.threads)]
+        if args.thin:
+            cmd += ["--thin", str(args.thin)]
         cmd += [sp, tp]
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         for line in out.stderr.splitlines()[-3:]:
