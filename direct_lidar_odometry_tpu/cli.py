@@ -43,7 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "every 1/map.publish_freq seconds of DATA time "
                          "during the run — the in-process analog of the "
                          "reference's periodically published map topic "
-                         "(map.cc:100-131). Each export synchronizes the "
+                         "(map.cc:100-131). NB map.publish_freq is in Hz "
+                         "here; the reference quirkily passes its "
+                         "publish_freq param as a timer PERIOD in seconds "
+                         "(map.cc:24,51), so the two only coincide at the "
+                         "1.0 default. Each export synchronizes the "
                          "pipeline and rebuilds the map, so it costs "
                          "throughput; the final map is written either way.")
     ap.add_argument("--checkpoint", default=None, help="save state here at exit")

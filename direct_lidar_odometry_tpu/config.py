@@ -215,7 +215,11 @@ class PoseGraphConfig:
     refine_every_kf: int = 12    # trigger after this many new keyframes
     check_every: int = 16        # frames between (host-synced) trigger checks
     loop_radius: float = 7.0     # candidate keyframe pose distance [m]
-    min_index_gap: int = 12      # minimum insertion-index separation
+    min_index_gap: int = 12      # minimum insertion-RANK separation — counts
+    #   SURVIVING keyframes, so heavy eviction shrinks effective gaps
+    min_seq_gap: int = 0         # minimum spawn-FRAME separation (eviction-
+    #   invariant travel-time proxy; 0 = disabled). Prefer this for long
+    #   evicting runs (round-4 advisor finding on rank-unit gaps)
     max_loops: int = 4           # loop edges registered per refinement
     iterations: int = 8          # Gauss-Newton iterations
     chain_weight: float = 1.0

@@ -61,17 +61,23 @@ class RefineInfo(NamedTuple):
 
 def loop_candidates(
     store: KeyframeStore, loop_radius: float, min_index_gap: int,
-    max_loops: int,
+    max_loops: int, min_seq_gap: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-``max_loops`` closest eligible (i, j) keyframe pairs.
 
     Eligibility: both slots occupied, insertion-RANK separation >=
-    ``min_index_gap`` (a travel-time proxy; ranks come from
-    ``KeyframeStore.seq`` so eviction-rewritten slots cannot fake a gap),
-    pose distance < loop_radius. Returns ([L, 2] int32 edges, [L] bool
-    mask). Selection is k-smallest by distance — redundant neighbors of
-    the same revisit are harmless to GN (they just over-weight that
-    closure slightly).
+    ``min_index_gap`` (ranks come from ``KeyframeStore.seq`` so
+    eviction-rewritten slots cannot fake a gap), optional spawn-FRAME
+    separation >= ``min_seq_gap``, pose distance < loop_radius. Returns
+    ([L, 2] int32 edges, [L] bool mask). Selection is k-smallest by
+    distance — redundant neighbors of the same revisit are harmless to
+    GN (they just over-weight that closure slightly).
+
+    NOTE on units (round-4 advisor): ``min_index_gap`` counts SURVIVING
+    keyframes — after heavy eviction two keyframes many frames apart can
+    sit at a small rank gap and be excluded. For long evicting runs set
+    ``min_seq_gap`` (frame units, eviction-invariant) instead of
+    rescaling min_index_gap.
     """
     k = store.capacity
     pos = store.positions
@@ -83,12 +89,14 @@ def loop_candidates(
     )
     d = jnp.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)  # [K, K]
     gap = jnp.abs(rank[None, :] - rank[:, None])
+    seq_gap = jnp.abs(store.seq[None, :] - store.seq[:, None])
     # keep i = the EARLIER keyframe of the pair (rank order), j = later
     later = rank[None, :] > rank[:, None]
     ok = (
         valid[:, None] & valid[None, :]
         & later
         & (gap >= min_index_gap)
+        & (seq_gap >= min_seq_gap)
         & (d < loop_radius)
     )
     flat_d = jnp.where(ok, d, jnp.inf).reshape(-1)
@@ -276,7 +284,8 @@ def refine_and_reanchor(
     """
     pg = cfg.posegraph
     edges, cand_mask = loop_candidates(
-        state.keyframes, pg.loop_radius, pg.min_index_gap, pg.max_loops
+        state.keyframes, pg.loop_radius, pg.min_index_gap, pg.max_loops,
+        min_seq_gap=pg.min_seq_gap,
     )
     loops = register_loop_edges(state.keyframes, edges, cand_mask, cfg, backend)
     graph = build_refinement_graph(state.keyframes, loops, pg.chain_weight)

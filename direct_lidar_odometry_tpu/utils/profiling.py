@@ -107,7 +107,9 @@ def dashboard(frame_idx, position, quat, distance_traveled, timing: TimingStats,
         + " " * 19 + "|",
         f"| dist {distance_traveled:8.2f} m   comp {timing.current:7.1f} ms "
         f"(avg {timing.average:7.1f})   |",
-        ram_line + " " * max(1, 61 - len(ram_line)) + "|",
+        # clamp to the 62-char box so wide values (3-digit core counts,
+        # >=100 GB RSS) cannot push past the right border
+        ram_line[:61].ljust(61) + "|",
     ]
     if health is not None:
         lines.append(
