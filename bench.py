@@ -67,7 +67,8 @@ def production_cfg(small: bool = False):
     return base
 
 
-def make_bench_world(n_frames: int, rng: np.random.Generator, small: bool):
+def make_bench_world(n_frames: int, rng: np.random.Generator, small: bool,
+                     n_dynamic: int | None = None):
     """Returns (world, max_range, max_points, beams).
 
     Since round 5 the bench world is a campus-corridor BoxWorld rendered
@@ -84,13 +85,14 @@ def make_bench_world(n_frames: int, rng: np.random.Generator, small: bool):
     if small:
         beams = synthetic.BeamModel(n_beams=32, n_azimuth=512)
         world = synthetic.make_urban_world(
-            rng, n_frames=n_frames, speed=0.4, corridor=7.0, n_dynamic=1,
+            rng, n_frames=n_frames, speed=0.4, corridor=7.0,
+            n_dynamic=1 if n_dynamic is None else n_dynamic,
         )
         return world, 13.0, 8192, beams
     beams = synthetic.BeamModel()
     world = synthetic.make_urban_world(
         rng, n_frames=n_frames, speed=1.0,
-        n_dynamic=max(2, n_frames // 25),
+        n_dynamic=max(2, n_frames // 25) if n_dynamic is None else n_dynamic,
     )
     return world, 40.0, 131072, beams
 
@@ -186,6 +188,15 @@ def main() -> None:
                          "loop (the offline-throughput default: staging is "
                          "setup, and the tunnel transport otherwise "
                          "contends with dispatch/sync in the loop)")
+    ap.add_argument("--imu", action="store_true",
+                    help="feed synthesized gyro (from GT, noise+0 bias) "
+                         "through runner.push_imu — the reference's hot "
+                         "path takes a gyro prior every scan "
+                         "(odom.cc:801-806); this exercises it end-to-end")
+    ap.add_argument("--dyn", type=int, default=-1,
+                    help="override the number of dynamic (moving) boxes "
+                         "in the world (-1 = world default) — for "
+                         "attribution A/Bs")
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
                     help="dotted config override for A/B runs, e.g. "
                          "gicp.s2s.optimizer=gn (same syntax as the CLI)")
@@ -224,6 +235,15 @@ def main() -> None:
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}", file=sys.stderr)
 
     cfg = production_cfg(args.small)
+    if args.imu:
+        import dataclasses
+
+        # calib_time=0: synthesized gyro is bias-free; the platform is
+        # moving from frame 0 so a static calibration window is moot.
+        # Buffer sized for the whole run (bench pushes all samples upfront)
+        cfg = cfg.replace(imu=dataclasses.replace(
+            cfg.imu, use=True, calib_time=0.0,
+            buffer_size=max(2000, args.frames * 16)))
     rng = np.random.default_rng(0)
 
     # Start the step/chunk compiles FIRST, in background threads (AOT on
@@ -235,13 +255,24 @@ def main() -> None:
     runner = OdometryRunner(cfg)
     precompile_threads = runner.precompile_async(chunk=args.chunk)
 
-    world, max_range, max_pts, beams = make_bench_world(args.frames, rng, args.small)
+    world, max_range, max_pts, beams = make_bench_world(
+        args.frames, rng, args.small,
+        n_dynamic=None if args.dyn < 0 else args.dyn)
     print("# rendering scans (overlapping background compiles)...", file=sys.stderr)
     scans = [
         synthetic.render_scan(world, t, rng, max_range=max_range,
                               max_points=max_pts, beams=beams)
         for t in range(args.frames)
     ]
+    if args.imu:
+        imu_rng = np.random.default_rng(7)
+        n_imu = 0
+        for t in range(1, len(scans)):
+            for row in synthetic.make_imu_between(world, t, 100.0, imu_rng):
+                runner.push_imu(float(row[0]), row[1:4], row[4:7])
+                n_imu += 1
+        print(f"# pushed {n_imu} synthesized IMU samples (100 Hz gyro)",
+              file=sys.stderr)
     print(
         f"# {len(scans)} scans, mean {np.mean([len(s) for s in scans]):.0f} raw pts, "
         f"rendered in {time.perf_counter()-t_setup:.1f} s",

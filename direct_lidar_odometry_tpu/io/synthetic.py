@@ -394,8 +394,12 @@ def render_raycast(
         inv_g = inv.reshape(beams.n_beams, beams.n_azimuth, 3)
         # each box only subtends a narrow azimuth wedge as seen from the
         # sensor — slab-test just those ray columns (exact: the wedge is
-        # widened by the box's circumscribed radius)
-        az_ctr = np.arctan2(ctr[:, 1] - o[1], ctr[:, 0] - o[0])
+        # widened by the box's circumscribed radius). The ray grid's
+        # azimuth axis is SENSOR-frame, so the wedge centre must be too
+        # (a world-frame wedge drifts off the box columns as the robot
+        # yaws — boxes silently vanished past ~45 deg of heading change)
+        rel_ctr_s = (ctr - o) @ R  # d_w = d_s @ R.T  =>  d_s = d_w @ R
+        az_ctr = np.arctan2(rel_ctr_s[:, 1], rel_ctr_s[:, 0])
         with np.errstate(invalid="ignore"):
             az_half = np.arcsin(np.minimum(rad2d / np.maximum(dist2d, 1e-9), 1.0))
         col_ctr = (az_ctr + np.pi) * (beams.n_azimuth / (2 * np.pi))

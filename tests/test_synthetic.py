@@ -120,6 +120,24 @@ def test_raycast_rough_boxes_noisier():
     assert face_spread(fuzzy) > 4 * face_spread(crisp)
 
 
+def test_raycast_sees_structure_at_any_yaw():
+    """Regression: the per-box azimuth-wedge culling must slice the ray
+    grid in the SENSOR frame — a world-frame wedge made every box vanish
+    once the robot had yawed far enough (round-5 bug, cost 2.6 m ATE)."""
+    rng = np.random.default_rng(0)
+    world = synthetic.make_urban_world(rng, n_frames=30, speed=1.0,
+                                       n_dynamic=0, closed_loop=True)
+    bm = synthetic.BeamModel()
+    P = world.poses
+    yaw = np.abs(np.degrees(np.arctan2(P[:, 1, 0], P[:, 0, 0])))
+    assert yaw.max() > 90, "world must actually turn for this test"
+    for t in range(0, 30, 5):
+        s = synthetic.render_scan(world, t, rng, max_range=40.0,
+                                  max_points=1 << 20, beams=bm)
+        non_ground = (np.abs(s[:, 2] + 1.5) > 0.3).sum()
+        assert non_ground > 3000, (t, non_ground)
+
+
 def test_urban_world_scan_density():
     """The bench world must stay in the realistic OS1-64 class."""
     rng = np.random.default_rng(0)

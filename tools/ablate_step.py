@@ -61,14 +61,14 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     frames = 8
-    world, max_range, max_pts = bench.make_bench_world(frames + 1, rng, small)
+    world, max_range, max_pts, beams = bench.make_bench_world(frames + 1, rng, small)
     runner = OdometryRunner(cfg)
     for t in range(frames):
-        s = synthetic.render_scan(world, t, rng, max_range=max_range,
+        s = synthetic.render_scan(world, t, rng, beams=beams, max_range=max_range,
                                   max_points=max_pts)
         runner.process_scan(s, world.stamps[t], sync=True)
     state = runner.state
-    raw = synthetic.render_scan(world, frames, rng, max_range=max_range,
+    raw = synthetic.render_scan(world, frames, rng, beams=beams, max_range=max_range,
                                 max_points=max_pts)
     # match the runner's wire format: with host_preprocess the device step
     # receives <= n_scan Z-ordered voxel centroids, not the raw scan

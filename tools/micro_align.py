@@ -51,13 +51,13 @@ def main() -> None:
     cfg = bench.production_cfg(False)
     backend = resolve_backend(cfg)
     rng = np.random.default_rng(0)
-    world, max_range, max_pts = bench.make_bench_world(4, rng, False)
+    world, max_range, max_pts, beams = bench.make_bench_world(4, rng, False)
     runner = OdometryRunner(cfg)
     for t in range(3):
-        s = synthetic.render_scan(world, t, rng, max_range=max_range, max_points=max_pts)
+        s = synthetic.render_scan(world, t, rng, max_range=max_range, max_points=max_pts, beams=beams)
         runner.process_scan(s, world.stamps[t], sync=True)
     state = runner.state
-    raw = synthetic.render_scan(world, 3, rng, max_range=max_range, max_points=max_pts)
+    raw = synthetic.render_scan(world, 3, rng, max_range=max_range, max_points=max_pts, beams=beams)
     pts = np.full((cfg.shapes.n_raw, 3), 1e6, np.float32)
     msk = np.zeros((cfg.shapes.n_raw,), bool)
     pts[: len(raw)] = raw

@@ -50,13 +50,13 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     frames = 8
-    world, max_range, max_pts = bench.make_bench_world(frames + 1, rng, small)
+    world, max_range, max_pts, beams = bench.make_bench_world(frames + 1, rng, small)
     runner = OdometryRunner(cfg)
     for t in range(frames):
-        s = synthetic.render_scan(world, t, rng, max_range=max_range, max_points=max_pts)
+        s = synthetic.render_scan(world, t, rng, max_range=max_range, max_points=max_pts, beams=beams)
         runner.process_scan(s, world.stamps[t], sync=True)
     state = runner.state
-    raw = synthetic.render_scan(world, frames, rng, max_range=max_range, max_points=max_pts)
+    raw = synthetic.render_scan(world, frames, rng, max_range=max_range, max_points=max_pts, beams=beams)
     # wire-capacity encode, matching the runner exactly: with
     # cfg.host_preprocess the device step starts from <= n_scan Z-ordered
     # voxel centroids (feeding the raw 131k capacity instead would profile

@@ -44,8 +44,8 @@ def main():
     print(f"# device={jax.devices()[0].platform} stride={cfg.gicp.s2s_coarse_stride} "
           f"backend={cfg.nn_backend}", file=sys.stderr)
     rng = np.random.default_rng(0)
-    world, max_range, max_pts = bench.make_bench_world(frames, rng, False)
-    scans = [synthetic.render_scan(world, t, rng, max_range=max_range,
+    world, max_range, max_pts, beams = bench.make_bench_world(frames, rng, False)
+    scans = [synthetic.render_scan(world, t, rng, beams=beams, max_range=max_range,
                                    max_points=max_pts) for t in range(run_frames)]
     gt = np.linalg.inv(world.poses[0])[None] @ world.poses
 
