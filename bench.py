@@ -1,16 +1,26 @@
 """End-to-end benchmark: full odometry pipeline frames/s on one chip.
 
 Run by the driver on real TPU hardware each round; prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+with the measurement protocol and estimator named in the line (round-4
+advisor: cross-round ratios must be interpretable).
+
+Since round 5 the bench world is REALISTIC: an exact ray-cast campus
+corridor swept by an OS1-64-class spinning scanner (occlusion, beam
+pattern, foliage roughness, moving objects — synthetic.make_urban_world).
+Numbers from the round-1..4 point-soup world (which saw every surface
+through walls at ~5x the realistic point density) are NOT comparable.
 
 Baseline denominator: the reference publishes no numbers, so it is
 MEASURED by cpp/dlo_baseline (a from-scratch C++/OpenMP reproduction of
-the reference pipeline) on the exact same synthetic sequence: 3.94 fps on
-this 2-core host, extrapolated x4 to the 8-core desktop class the
-reference targets (BASELINE.md "Measured reference baseline").
-vs_baseline = our_fps / DLO_CPU_FPS.
+the reference pipeline at reference defaults) on the EXACT same 93-frame
+scan sequence: 29.75 fps on this 2-core host (ATE 1.47 cm), extrapolated
+x4 to the 8-core desktop class the reference targets (BASELINE.md).
+vs_baseline = our_fps / DLO_CPU_FPS. Same-work note: the voxeled scans
+(~9-13k pts) sit below the TPU pipeline's n_scan budget, so NEITHER side
+thins — the round-4 thinning asymmetry is gone by construction.
 
-Usage: python bench.py [--frames N] [--small] [--cpu]
+Usage: python bench.py [--frames N] [--small] [--cpu] [--stream] [--imu]
 """
 
 from __future__ import annotations
@@ -22,7 +32,11 @@ import time
 
 import numpy as np
 
-DLO_CPU_FPS = 15.8  # measured 3.94 fps (2 cores) x4 desktop extrapolation
+# measured by cpp/run_baseline.py --frames 93 on this host, round 5
+# (realistic ray-cast world; see module docstring + BASELINE.md)
+DLO_CPU_FPS_2CORE = 29.75
+DLO_CPU_ATE_M = 0.0147
+DLO_CPU_FPS = DLO_CPU_FPS_2CORE * 4  # 8-core desktop-class extrapolation
 
 
 def production_cfg(small: bool = False):
@@ -31,29 +45,27 @@ def production_cfg(small: bool = False):
     from direct_lidar_odometry_tpu.config import DloConfig, ShapeConfig
 
     base = DloConfig()
-    # Bench operating point (each knob A/B'd on TPU under the ATE gate and
-    # re-validated on the round-2 divergence vector, --cpu --frames 45
-    # --chunk 1 — see BASELINE.md round-4 staircase):
-    # - coarse-only S2S at stride 8 (subsample seeds S2M directly; the
-    #   staged-gate rescue is the safety net): drops the most expensive
-    #   align of the step (69 -> 95 fps cumulative)
-    # - n_scan 16384: the Bresenham voxel subsample at half the 32k budget
-    #   measured BETTER ATE (0.26 vs 0.33 cm; 12288 is past the floor at
-    #   0.42) — spatially uniform thinning trades redundant plane points
-    #   for speed on every downstream stage
-    # - submap flat budget 32768 = two keyframes' worth nearest the pose
-    #   (49152 -> no ATE cost; 24576 is no faster)
-    # Combined: 137-166 fps wall-avg across repeats, ATE 0.19 cm on the
-    # 93-frame world; round-2 divergence vector ATE 0.15 cm.
-    # The library defaults keep the full-resolution polish and the larger
-    # budgets (reference parity); this is the tuned offline configuration.
+    # Bench operating point — re-tuned round 5 on the realistic ray-cast
+    # campus world (93 frames, every knob A/B'd on TPU under the ATE
+    # gate; BASELINE.md round-5 staircase):
+    # - coarse-only S2S at stride 8 (round 4; full polish re-measured on
+    #   the realistic world: SLOWER and slightly worse ATE)
+    # - n_scan 12288: the voxeled realistic scan is ~9-13k pts, so this
+    #   budget rarely thins at all (16384 identical ATE, no faster)
+    # - n_submap_flat 16384 (32768 -> 16384: +21 fps, ATE 2.0 -> 2.3 cm;
+    #   8192 is past the floor at 4.1 cm)
+    # - max_keyframes 128 (ring ops cost ~0.4 ms/frame at 512; 128 slots
+    #   x ~5 m spacing covers ~600 m of map — plenty for bench sequences;
+    #   the library default stays 512)
+    # Combined: 322 fps offline-protocol wall-avg, ATE 2.41 cm / 93 m.
     base = base.replace(
         s2s_prior="constant_velocity",
         host_preprocess=True,
         gicp=dataclasses.replace(
             base.gicp, s2s_full_polish=False, s2s_coarse_stride=8),
         shapes=dataclasses.replace(
-            base.shapes, n_scan=16384, n_submap_flat=32768),
+            base.shapes, n_scan=12288, n_submap_flat=16384,
+            max_keyframes=128),
     )
     if small:
         return base.replace(
@@ -162,6 +174,81 @@ def run_batched(args) -> None:
     }))
 
 
+def _loop_closure_check(cfg, frames: int = 144, ring: int | None = None,
+                        per_frame_detail: bool = False) -> dict:
+    """Loop-closure repair measured on THIS device (round-4 verdict item
+    5: the repair numbers previously lived only in builder-run tools).
+
+    Closed-loop ray-cast world; frames [40, 80) render degraded (range
+    cut to 14 m + sigma-0.25 range noise, a fog-like stretch — odometry
+    genuinely drifts through it and carries the error to the revisit;
+    long_validation's burst protocol, strengthened for the ray-cast
+    world's robustness); posegraph refinement on. loop_radius 12 m
+    because the last keyframe spawns ~9 m short of closing the circle
+    (geometry, not drift). Returns map error before/after the final
+    refinement plus the forced-refine wall time.
+    The metric is keyframe-map error vs each keyframe's OWN ground-truth
+    pose (exact association via KeyframeStore.seq): past trajectory poses
+    are already emitted so end-ATE cannot see a final refinement; the
+    re-anchored ring — what the exporter and any relocalization consume —
+    can.
+    """
+    import dataclasses
+
+    from direct_lidar_odometry_tpu.io import synthetic
+    from direct_lidar_odometry_tpu.odometry.runner import OdometryRunner
+
+    cfg = cfg.replace(
+        posegraph=dataclasses.replace(
+            cfg.posegraph, use=True, min_index_gap=12, loop_radius=12.0,
+            check_every=48, refine_every_kf=8,
+        ),
+    )
+    if ring:
+        cfg = cfg.replace(
+            shapes=dataclasses.replace(cfg.shapes, max_keyframes=ring))
+    rng = np.random.default_rng(21)
+    world = synthetic.make_urban_world(
+        rng, n_frames=frames, speed=1.0, closed_loop=True, n_dynamic=0)
+    beams = synthetic.BeamModel()
+    runner = OdometryRunner(cfg)
+    srng = np.random.default_rng(5)
+    for t in range(frames):
+        burst = 40 <= t < 80
+        scan = synthetic.render_scan(
+            world, t, srng, max_range=14.0 if burst else 40.0,
+            max_points=cfg.shapes.n_raw,
+            noise=0.25 if burst else 0.01, beams=beams)
+        runner.process_scan(scan, float(world.stamps[t]))
+    gt_pos = (np.linalg.inv(world.poses[0])[None] @ world.poses)[:, :3, 3]
+
+    def kf_map_error() -> float:
+        kfc = int(runner.state.keyframes.count)
+        pos = np.asarray(runner.state.keyframes.positions[:kfc])
+        seq = np.asarray(runner.state.keyframes.seq[:kfc])
+        return float(np.linalg.norm(pos - gt_pos[seq], axis=-1).mean())
+
+    before = kf_map_error()
+    t0 = time.perf_counter()
+    info = runner.maybe_refine(force=True)
+    refine_ms = (time.perf_counter() - t0) * 1e3
+    after = kf_map_error()
+    out = {
+        "frames": frames,
+        "ring_slots": int(cfg.shapes.max_keyframes),
+        "keyframes": runner.num_keyframes(),
+        "loop_edges": sum(e["n_accepted"] for e in runner.refine_log),
+        "refine_rounds": len(runner.refine_log),
+        "kf_map_err_before_m": round(before, 4),
+        "kf_map_err_after_m": round(after, 4),
+        "forced_refine_wall_ms": round(refine_ms, 1),
+    }
+    if per_frame_detail and info is not None:
+        out["last_refine"] = {k: round(float(v), 4) if hasattr(v, "__float__")
+                              else v for k, v in info.items()}
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     # 93 frames = 10 measured chunks: the tunneled transport's first 1-2
@@ -188,6 +275,17 @@ def main() -> None:
                          "loop (the offline-throughput default: staging is "
                          "setup, and the tunnel transport otherwise "
                          "contends with dispatch/sync in the loop)")
+    ap.add_argument("--loop", action="store_true",
+                    help="run ONLY the loop-closure repair protocol "
+                         "(closed-loop world, noise-burst drift, "
+                         "posegraph.use=true) and print its JSON line")
+    ap.add_argument("--loop-frames", type=int, default=144)
+    ap.add_argument("--loop-ring", type=int, default=None,
+                    help="keyframe ring capacity for --loop (bounds the "
+                         "synchronous maybe_refine stall at capacity)")
+    ap.add_argument("--no-loop", action="store_true",
+                    help="skip the compact loop-closure check appended to "
+                         "the default run's JSON line")
     ap.add_argument("--imu", action="store_true",
                     help="feed synthesized gyro (from GT, noise+0 bias) "
                          "through runner.push_imu — the reference's hot "
@@ -224,6 +322,16 @@ def main() -> None:
 
     if args.batch:
         run_batched(args)
+        return
+
+    if args.loop:
+        res = _loop_closure_check(
+            production_cfg(args.small), frames=args.loop_frames,
+            ring=args.loop_ring, per_frame_detail=True)
+        print(json.dumps({
+            "metric": "loopclosure_map_repair",
+            "value": res["kf_map_err_after_m"], "unit": "m", **res,
+        }))
         return
 
     import jax
@@ -316,129 +424,156 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Keep two chunks in flight (host prep of chunk i+1 overlaps device
-    # compute of chunk i) and record per-chunk completion deltas; the
-    # MEDIAN chunk time is the throughput estimator. The tunneled device
-    # transport shows transient multi-x stalls (123 vs 69 ms synced
-    # latency minutes apart on identical code); a median over chunks is
-    # robust to those where a single wall-clock over the segment is not.
-    # host wire-format encode of chunk t+1 runs in a worker thread while
-    # chunk t computes on device (numpy / GIL-releasing native C++): at
-    # 131k-pt scans the encode is ~4-9 ms/scan and otherwise serializes
-    # with dispatch, capping throughput below the device's capability
     from concurrent.futures import ThreadPoolExecutor
 
     ex = ThreadPoolExecutor(1)
-    flush_every = 8
-    n_chunks = max(0, (len(scans) - start) // chunk)
-    # Offline protocol (default): encode + upload EVERY measured chunk to
-    # the device before the clock starts. Input staging is setup (the ML-
-    # bench convention); in the streamed loop the ~1.6 MB/chunk uploads
-    # share the tunneled transport with dispatches and result syncs and
-    # show up as multi-x chunk-time jitter. --stream restores the
-    # just-in-time worker-thread path. ~1.6 MB x n_chunks of HBM.
-    staged: dict[int, tuple] = {}
-    if chunk > 1 and not args.stream:
-        ts = time.perf_counter()
+
+    def measured_loop(rnr, stream: bool) -> dict:
+        """Steady-state loop over scans[start:]; returns timing dict.
+
+        Offline (pre-staged, default) protocol: every chunk's encoded
+        input is staged on device BEFORE the clock; all chunk dispatches
+        are then enqueued back-to-back and the queue is drained ONCE at
+        the end. The wall covers every byte of device compute plus a
+        single transport round-trip. (Round 4 synced the oldest chunk
+        every iteration, paying the tunnel's ~45 ms result RTT once PER
+        CHUNK — pure transport latency, not pipeline work — and
+        understating the chip ~40%: 5.3 -> 3.1 ms/frame on identical
+        compute when the per-chunk syncs go.) Estimator: WALL-AVG,
+        queue drained.
+
+        Online (--stream) protocol: chunks are encoded + uploaded just
+        in time in a worker thread, `inflight` dispatches deep; the
+        oldest result is synced each iteration and the MEDIAN completion
+        delta is the estimator (robust to transient tunnel stalls, which
+        the online wall cannot hide).
+        """
+        n_chunks = max(0, (len(scans) - start) // chunk)
+        staged: dict[int, tuple] = {}
+        if chunk > 1 and not stream:
+            ts = time.perf_counter()
+            t = start
+            while t + chunk <= len(scans):
+                staged[t] = rnr.prepare_chunk(scans[t : t + chunk])
+                t += chunk
+            # block on EVERY staged upload (device-side, no download):
+            # in-flight uploads otherwise stall their chunk's dispatch
+            # inside the measured window — staging is setup, the clock
+            # must start with inputs resident
+            import jax as _jax
+
+            _jax.block_until_ready(list(staged.values()))
+            print(f"# pre-staged {len(staged)} chunks in "
+                  f"{time.perf_counter()-ts:.1f} s", file=sys.stderr)
+        # stream mode: leave >=3 recorded samples after the discarded
+        # pipeline-fill pop, else the median degrades to wall-avg
+        depth = max(1, min(args.inflight, n_chunks - 4))
+        t0 = time.perf_counter()
+        res = None
+        pending: list = []  # completion queue, oldest first
+        chunk_times: list[float] = []
+        last_sync = t0
         t = start
-        while t + chunk <= len(scans):
-            staged[t] = runner.prepare_chunk(scans[t : t + chunk])
-            t += chunk
-        for a in staged.get(t - chunk, ()):  # block on the last upload
-            np.asarray(a)
-        print(f"# pre-staged {len(staged)} chunks in "
-              f"{time.perf_counter()-ts:.1f} s", file=sys.stderr)
-    prestaged = bool(staged)
-    # leave at least 3 recorded samples AFTER the discarded pipeline-fill
-    # pop (n_chunks - depth - 1 samples record), else the median estimator
-    # silently degrades to wall-avg below
-    depth = max(1, min(args.inflight, n_chunks - 4))
-    t0 = time.perf_counter()
-    res = None
-    pending: list = []  # completion queue, oldest first
-    chunk_times: list[float] = []
-    last_sync = t0
-    t = start
-    prep = (
-        ex.submit(runner.prepare_chunk, scans[start : start + chunk])
-        if chunk > 1 and args.stream and start + chunk <= len(scans)
-        else None
-    )
-    while t < len(scans):
-        if chunk > 1 and t + chunk <= len(scans):
-            if staged:
-                prepared = staged.pop(t)
-            else:
-                prepared = prep.result() if prep is not None else None
-                nxt = t + chunk
-                prep = (
-                    ex.submit(runner.prepare_chunk, scans[nxt : nxt + chunk])
-                    if nxt + chunk <= len(scans)
-                    else None
-                )
-            res = runner.process_chunk(
-                scans[t : t + chunk],
-                [float(s) for s in world.stamps[t : t + chunk]],
-                prepared=prepared,
-            )
-            t += chunk
-            pending.append(res)
-            # keep `depth` chunks in flight; sync the OLDEST — completion
-            # deltas of the oldest element measure sustained throughput
-            # while the deeper queue rides out transient transport stalls
-            if len(pending) > depth:
-                np.asarray(pending.pop(0).position)
-                now = time.perf_counter()
-                if chunk_times or last_sync != t0:
-                    chunk_times.append(now - last_sync)
+        prep = (
+            ex.submit(rnr.prepare_chunk, scans[start : start + chunk])
+            if chunk > 1 and stream and start + chunk <= len(scans)
+            else None
+        )
+        while t < len(scans):
+            if chunk > 1 and t + chunk <= len(scans):
+                if staged:
+                    prepared = staged.pop(t)
                 else:
-                    pass  # first pop spans the pipeline fill — not a sample
-                last_sync = now
-        else:
-            res = runner.process_scan(
-                scans[t], world.stamps[t], sync=(chunk == 1 and t % flush_every == 0)
-            )
-            t += 1
-    # drain WITHOUT recording deltas: once dispatch stops, completions of
-    # already-finished chunks pop in ~0 s and would fake-improve the median
-    while pending:
-        np.asarray(pending.pop(0).position)
-    if res is not None:
-        np.asarray(res.position)  # drain the tail
-    wall = time.perf_counter() - t0
-    n_steady = len(scans) - start
-    ms_wall = wall / max(n_steady, 1) * 1e3
-    if prestaged or len(chunk_times) < 3:
-        # Pre-staged (offline) protocol: WALL-AVG is the headline — total
-        # wall clock over all measured frames, queue fully drained. With
-        # inputs resident the dispatch loop is not host-bound, so wall-avg
-        # is exactly sustained device throughput; completion deltas of a
-        # depth-N queue compress/stretch around sync points (4-38 ms/frame
-        # "chunks" for the same 14.5 ms/frame run) and their median jumps
-        # by sample luck (14.5 vs 17.7 across runs). In --stream mode the
-        # median keeps guarding against transport stalls inflating the
-        # average.
-        ms = ms_wall
+                    prepared = prep.result() if prep is not None else None
+                    nxt = t + chunk
+                    prep = (
+                        ex.submit(rnr.prepare_chunk, scans[nxt : nxt + chunk])
+                        if nxt + chunk <= len(scans)
+                        else None
+                    )
+                res = rnr.process_chunk(
+                    scans[t : t + chunk],
+                    [float(s) for s in world.stamps[t : t + chunk]],
+                    prepared=prepared,
+                )
+                t += chunk
+                pending.append(res)
+                # stream: keep `depth` chunks in flight, sync the OLDEST —
+                # completion deltas measure sustained online throughput.
+                # Pre-staged: NO intermediate syncs (see docstring).
+                if stream and len(pending) > depth:
+                    np.asarray(pending.pop(0).position)
+                    now = time.perf_counter()
+                    if chunk_times or last_sync != t0:
+                        chunk_times.append(now - last_sync)
+                    else:
+                        pass  # first pop spans the pipeline fill
+                    last_sync = now
+            else:
+                res = rnr.process_scan(
+                    scans[t], world.stamps[t], sync=(chunk == 1 and t % 8 == 0)
+                )
+                t += 1
+        # drain WITHOUT recording deltas: once dispatch stops, completions
+        # of finished chunks pop in ~0 s and would fake-improve the median
+        while pending:
+            np.asarray(pending.pop(0).position)
+        if res is not None:
+            np.asarray(res.position)  # drain the tail
+        wall = time.perf_counter() - t0
+        n_steady = len(scans) - start
+        out = {"wall_ms": wall / max(n_steady, 1) * 1e3, "n": n_steady}
         if chunk_times:
             print(
-                f"# chunk times (ms/frame): "
+                ("# stream " if stream else "# ") + "chunk times (ms/frame): "
                 + " ".join(f"{c/chunk*1e3:.1f}" for c in chunk_times),
                 file=sys.stderr,
             )
+            if len(chunk_times) >= 3:
+                out["median_ms"] = float(np.median(chunk_times)) / chunk * 1e3
+        return out
+
+    head = measured_loop(runner, stream=args.stream)
+    ms_wall = head["wall_ms"]
+    n_steady = head["n"]
+    if args.stream and "median_ms" in head:
+        ms, estimator = head["median_ms"], "median_chunk"
     else:
-        ms = float(np.median(chunk_times)) / chunk * 1e3
-        print(
-            f"# chunk times (ms/frame): "
-            + " ".join(f"{c/chunk*1e3:.1f}" for c in chunk_times),
-            file=sys.stderr,
-        )
+        ms, estimator = ms_wall, "wall_avg"
+    protocol = "stream" if args.stream else "prestaged"
+    fps = 1000.0 / ms
+
+    # Score the trajectory FIRST, before ANY post-hoc re-stepping of the
+    # live donated state (round-4 weak #7: the old code re-stepped the
+    # runner on duplicate scans before scoring and correctness hung on a
+    # slice). A fast-but-divergent pipeline must not report a score.
+    from direct_lidar_odometry_tpu.io import evaluation
+
+    est = runner.trajectory()[: len(world.poses)]
+    gt = np.linalg.inv(world.poses[0])[None] @ world.poses[: len(est)]
+    ate = evaluation.ate(est, gt, align=False)
+    path_len = float(
+        np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=-1))
+    )
+    # Gate: ~6x the C++ reproduction's measured drift on this exact world
+    # (DLO_CPU_ATE_M/93 m = 0.016 %/m), floored at 10 cm — 14x tighter
+    # than the round-4 gate; it certifies the accuracy class, not just
+    # non-divergence.
+    gate = max(0.10, 0.001 * path_len)
+    if not np.isfinite(ate.rmse) or ate.rmse > gate:
+        print(json.dumps({
+            "metric": "odometry_frames_per_s_per_chip",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"diverged: ATE {ate.rmse:.3f} m (gate {gate:.2f})",
+        }))
+        return
+
     # Chip-capability estimate: min over a few SYNCED chunks (dispatch ->
-    # immediate sync, depth-1). Completion deltas of a depth-N queue are
-    # NOT usable for this: after a transport stall the queue drains in a
-    # burst and the delta collapses (round 3 recorded a 4.2 ms/frame
-    # "best chunk" against a 57.9 ms synced latency). A synced chunk can
-    # only understate the chip, never flatter it.
-    ms_best = ms
+    # immediate sync, depth-1, input staged off-clock). NB each synced
+    # chunk pays one full tunnel result RTT (~45 ms on this link), so at
+    # small chunk sizes this is transport-dominated — it bounds end-to-end
+    # latency, not the chip. It can only understate the chip.
+    ms_synced = ms
     if chunk > 1 and len(scans) - start >= chunk:
         best_synced = []
         pre = runner.prepare_chunk(scans[-chunk:])  # stage input off-clock
@@ -451,52 +586,75 @@ def main() -> None:
             )
             np.asarray(r.position)
             best_synced.append(time.perf_counter() - tb)
-        ms_best = min(best_synced) / chunk * 1e3
-    fps = 1000.0 / ms
+        ms_synced = min(best_synced) / chunk * 1e3
 
     # synced single-frame latency for the dashboard line
     t0 = time.perf_counter()
     runner.process_scan(scans[-1], world.stamps[-1] + 0.1, sync=True)
     lat_ms = (time.perf_counter() - t0) * 1e3
-    # accuracy gate: a fast-but-divergent pipeline must not report a score
-    from direct_lidar_odometry_tpu.io import evaluation
-
-    est = runner.trajectory()[: len(world.poses)]
-    gt = np.linalg.inv(world.poses[0])[None] @ world.poses[: len(est)]
-    ate = evaluation.ate(est, gt, align=False)
     print(
-        f"# steady-state: {ms:.2f} ms/frame median-chunk ({ms_best:.2f} best-chunk, "
+        f"# steady-state: {ms:.2f} ms/frame {estimator} ({ms_synced:.2f} synced-chunk, "
         f"{ms_wall:.2f} wall-avg, {n_steady} frames), {lat_ms:.2f} ms synced latency, "
         f"{runner.num_keyframes()} keyframes, ATE {ate.rmse*100:.2f} cm",
         file=sys.stderr,
     )
-    # gate scales with path length: odometry drift without loop closure is
-    # ~1%/m (the C++ baseline itself measures 0.466 m over the 45-frame
-    # world), so a fixed cap would misfire on longer runs
-    path_len = float(
-        np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=-1))
-    )
-    gate = max(0.5, 0.015 * path_len)
-    if not np.isfinite(ate.rmse) or ate.rmse > gate:
-        print(json.dumps({
-            "metric": "odometry_frames_per_s_per_chip",
-            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
-            "error": f"diverged: ATE {ate.rmse:.3f} m (gate {gate:.2f})",
-        }))
-        return
-    print(
-        json.dumps(
-            {
-                "metric": "odometry_frames_per_s_per_chip",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / DLO_CPU_FPS, 3),
-                "best_chunk_fps": round(1000.0 / ms_best, 2),
-                "wall_avg_fps": round(1000.0 / ms_wall, 2),
-                "ate_rmse_m": round(float(ate.rmse), 4),
-            }
+
+    # Online (streamed) number in the same artifact (round-4 verdict item
+    # 3): re-run the measured segment through a FRESH runner with
+    # just-in-time encode+upload and report its median-chunk estimator.
+    stream_fps = None
+    if (not args.stream and chunk > 1 and not args.small
+            and len(scans) - start >= 6 * chunk):
+        r2 = OdometryRunner(cfg)
+        if args.imu:
+            imu_rng2 = np.random.default_rng(7)
+            for t in range(1, len(scans)):
+                for row in synthetic.make_imu_between(world, t, 100.0, imu_rng2):
+                    r2.push_imu(float(row[0]), row[1:4], row[4:7])
+        for t in range(warmup):
+            r2.process_scan(scans[t], world.stamps[t], sync=True)
+        r = r2.process_chunk(
+            scans[warmup : warmup + chunk],
+            [float(s) for s in world.stamps[warmup : warmup + chunk]],
         )
-    )
+        np.asarray(r.position)
+        sec = measured_loop(r2, stream=True)
+        stream_fps = 1000.0 / sec.get("median_ms", sec["wall_ms"])
+        print(f"# online (stream) protocol: {1000.0/stream_fps:.2f} ms/frame "
+              f"median-chunk", file=sys.stderr)
+
+    out = {
+        "metric": "odometry_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / DLO_CPU_FPS, 3),
+        # same-work: on this world the voxeled scan (~9-13k pts) is BELOW
+        # the pipeline's n_scan budget, so neither side thins — the two
+        # ratios coincide by construction (cpp/run_baseline --thin is the
+        # knob that would equalize budgets on denser data)
+        "vs_baseline_same_work": round(fps / DLO_CPU_FPS, 3),
+        "vs_cpu_same_host_2core": round(fps / DLO_CPU_FPS_2CORE, 3),
+        "protocol": protocol,
+        "estimator": estimator,
+        "wall_avg_fps": round(1000.0 / ms_wall, 2),
+        "synced_chunk_fps": round(1000.0 / ms_synced, 2),
+        "ate_rmse_m": round(float(ate.rmse), 4),
+        "ate_pct_per_m": round(float(ate.rmse) / max(path_len, 1e-9) * 100, 4),
+        "gate_m": round(gate, 3),
+        "cpu_baseline_fps_2core_measured": DLO_CPU_FPS_2CORE,
+        "cpu_baseline_ate_m": DLO_CPU_ATE_M,
+    }
+    if stream_fps is not None:
+        out["stream_fps"] = round(stream_fps, 2)
+        out["vs_baseline_stream"] = round(stream_fps / DLO_CPU_FPS, 3)
+    # compact loop-closure repair evidence in the same driver-captured
+    # line (round-4 verdict item 5); failures must not cost the headline
+    if not args.no_loop and not args.small and not args.cpu:
+        try:
+            out["loopclosure"] = _loop_closure_check(production_cfg(False))
+        except Exception as e:  # pragma: no cover
+            print(f"# loop-closure check failed: {e!r}", file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
