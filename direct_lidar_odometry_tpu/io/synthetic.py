@@ -753,5 +753,8 @@ def make_imu_between(
     out = np.zeros((n, 7))
     out[:, 0] = ts
     out[:, 1:4] = w + gyro_bias + rng.normal(scale=gyro_noise, size=(n, 3))
-    out[:, 4:7] = np.array([0, 0, 9.81]) @ np.eye(3)  # crude static accel
+    # specific force for slow platforms ~= gravity reaction in the BODY
+    # frame (R^T g z-hat): a tilted body reads tilted gravity, which is
+    # what gravity alignment (odom.cc:535-579) consumes
+    out[:, 4:7] = R0.T @ np.array([0, 0, 9.81])
     return out

@@ -113,6 +113,48 @@ def integrate_window(window: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
     return se3.make_se3(se3.quat_to_rotmat(q), jnp.zeros(3, jnp.float32))
 
 
+def integrate_window_host(window: np.ndarray, count: int) -> np.ndarray:
+    """NumPy mirror of :func:`integrate_window` for the host prior path.
+
+    The prior is consumed as a host array by process_scan/process_chunk;
+    running the ~10-sample quaternion chain as its own device program
+    cost one tunnel round-trip PER FRAME (~45 ms on the axon link — it
+    collapsed the --imu bench from ~170 to ~10 fps). Sensor-rate
+    bookkeeping belongs on the host; the in-jit version remains for
+    fully-fused device pipelines. Semantics identical (same Euler
+    quaternion kinematics, reference odom.cc:885-918); agreement is
+    pinned by a test.
+    """
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    if count <= 0:
+        out = np.eye(4, dtype=np.float32)
+        return out
+    prev = window[0, 0]
+    for i in range(1, int(count)):
+        stamp = window[i, 0]
+        ox, oy, oz = window[i, 1:4]
+        dt = stamp - prev
+        qw, qx, qy, qz = q
+        dq = np.array([
+            -0.5 * (qx * ox + qy * oy + qz * oz),
+            0.5 * (qw * ox - qz * oy + qy * oz),
+            0.5 * (qz * ox + qw * oy - qx * oz),
+            0.5 * (qx * oy - qy * ox + qw * oz),
+        ])
+        q = q + dq * dt
+        prev = stamp
+    q = q / max(np.linalg.norm(q), 1e-12)
+    w, x, y, z = q
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = R
+    return out
+
+
 def gravity_align_quat(accel_mean: jnp.ndarray) -> jnp.ndarray:
     """Quaternion rotating the measured gravity direction onto +z.
 
