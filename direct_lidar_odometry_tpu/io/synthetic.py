@@ -418,8 +418,12 @@ def render_raycast(
             t2 = hi_rel[b] * iv
             tmin = np.minimum(t1, t2).max(axis=-1)
             tmax = np.maximum(t1, t2).min(axis=-1)
-            valid = (tmax >= tmin) & (tmax > min_range)
-            tmin = np.where(valid, np.maximum(tmin, min_range), np.inf)
+            # require the ENTRY face in front of the sensor: an origin
+            # inside a solid box sees nothing (tmin <= 0 < tmax used to
+            # emit a garbage min_range shell that the crop then deleted —
+            # empty scans whenever a trajectory clipped a building)
+            valid = (tmax >= tmin) & (tmin > min_range)
+            tmin = np.where(valid, tmin, np.inf)
             cur = t_grid[:, cols]
             upd = tmin < cur
             t_grid[:, cols] = np.where(upd, tmin, cur)

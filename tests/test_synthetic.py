@@ -138,6 +138,26 @@ def test_raycast_sees_structure_at_any_yaw():
         assert non_ground > 3000, (t, non_ground)
 
 
+def test_raycast_inside_box_returns_nothing():
+    """A sensor inside a solid box must see no returns from it (the old
+    behavior emitted a min_range shell that the crop then deleted —
+    whole scans vanished whenever a trajectory clipped a building)."""
+    world = synthetic.BoxWorld(
+        boxes=np.array([[0.0, 0.0, 1.5, 6.0, 6.0, 4.0]], np.float32),
+        poses=np.eye(4)[None],
+        stamps=np.array([0.0]),
+    )
+    world.poses[0, 2, 3] = 1.5  # inside the box
+    bm = synthetic.BeamModel(fov_up_deg=15.0, fov_down_deg=-15.0)
+    s = synthetic.render_scan(world, 0, np.random.default_rng(1),
+                              max_range=30.0, max_points=1 << 20, beams=bm)
+    # the box is the only structure and we are inside it: no box returns
+    # (ground hits may remain — an enclosed sensor is out-of-contract for
+    # the renderer; the invariant is no garbage interior shells)
+    non_ground = s[np.abs(s[:, 2] + 1.5) > 0.15] if len(s) else s
+    assert len(non_ground) == 0, len(non_ground)
+
+
 def test_urban_world_scan_density():
     """The bench world must stay in the realistic OS1-64 class."""
     rng = np.random.default_rng(0)

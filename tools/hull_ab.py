@@ -57,10 +57,23 @@ def main() -> None:
         submap=dataclasses.replace(base.submap, knn=3, kcv=3, kcc=3),
     )
     rng = np.random.default_rng(9)
-    world = synthetic.make_loop_world(
-        rng, n_frames=n_frames, speed=0.4, z_amplitude=1.0,
-        density=6.0, ground_density=9.0,
-    )
+    # round-5: ray-cast closed loop (exact occlusion; HULL_SOUP=1 restores
+    # the legacy point-soup world the round-4 A/B ran on)
+    if bool(int(os.environ.get("HULL_SOUP", "0"))):
+        world = synthetic.make_loop_world(
+            rng, n_frames=n_frames, speed=0.4, z_amplitude=1.0,
+            density=6.0, ground_density=9.0,
+        )
+        beams = None
+    else:
+        # wandering corridor (a closed loop at 60 frames x 0.4 m/frame is
+        # a 3.8 m-radius circle — too tight for 13 m-range scans to keep
+        # structure in view; measured divergent)
+        world = synthetic.make_urban_world(
+            rng, n_frames=n_frames, speed=0.4, corridor=7.0,
+            n_dynamic=0,
+        )
+        beams = synthetic.BeamModel(n_beams=32, n_azimuth=512)
     gt = np.linalg.inv(world.poses[0])[None] @ world.poses
 
     def run_single(use_exact_hulls: bool, tag: str):
@@ -73,7 +86,7 @@ def main() -> None:
         for t in range(n_frames):
             s = synthetic.render_scan(
                 world, t, np.random.default_rng(1000 + t),
-                max_range=13.0, max_points=8192,
+                max_range=13.0, max_points=8192, beams=beams,
             )
             runner.process_scan(s, float(world.stamps[t]))
         est = runner.trajectory()[: len(gt)]
@@ -100,7 +113,7 @@ def main() -> None:
         for i in range(b):
             s = synthetic.render_scan(
                 world, t, np.random.default_rng(1000 + t + 7919 * i),
-                max_range=13.0, max_points=8192,
+                max_range=13.0, max_points=8192, beams=beams,
             )
             pts[i, : len(s)] = s
             mask[i, : len(s)] = True

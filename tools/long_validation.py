@@ -74,11 +74,23 @@ def main() -> None:
         max_range, max_pts, speed = 40.0, base.shapes.n_raw, 1.0
 
     rng = np.random.default_rng(11)
-    world = synthetic.make_loop_world(
-        rng, n_frames=n_frames, speed=speed, z_amplitude=1.5,
-        density=25.0 if not small else 6.0,
-        ground_density=25.0 if not small else 9.0,
-    )
+    # LV_SOUP=1 restores the legacy point-soup loop world; the default is
+    # the round-5 ray-cast closed loop (exact occlusion + beam pattern —
+    # the world the bench and the C++ denominator run on)
+    if bool(int(os.environ.get("LV_SOUP", "0"))):
+        world = synthetic.make_loop_world(
+            rng, n_frames=n_frames, speed=speed, z_amplitude=1.5,
+            density=25.0 if not small else 6.0,
+            ground_density=25.0 if not small else 9.0,
+        )
+        beams = None
+    else:
+        world = synthetic.make_urban_world(
+            rng, n_frames=n_frames, speed=speed, closed_loop=True,
+            z_amplitude=1.5, n_dynamic=2,
+        )
+        beams = (synthetic.BeamModel(n_beams=32, n_azimuth=512) if small
+                 else synthetic.BeamModel())
     scans = None  # rendered lazily per frame: a 500-frame production world
     # does not fit pre-rendered in host RAM comfortably
 
@@ -99,7 +111,7 @@ def main() -> None:
                 nz = burst[2]
             scan = synthetic.render_scan(
                 world, t, srng, max_range=max_range, max_points=max_pts,
-                noise=nz,
+                noise=nz, beams=beams,
             )
             runner.process_scan(scan, float(world.stamps[t]))
         gt_all = np.linalg.inv(world.poses[0])[None] @ world.poses
