@@ -469,6 +469,10 @@ def main() -> None:
         # stream mode: leave >=3 recorded samples after the discarded
         # pipeline-fill pop, else the median degrades to wall-avg
         depth = max(1, min(args.inflight, n_chunks - 4))
+        import gc
+
+        gc.collect()
+        gc.disable()  # no collector pauses inside the measured window
         t0 = time.perf_counter()
         res = None
         pending: list = []  # completion queue, oldest first
@@ -522,6 +526,7 @@ def main() -> None:
         if res is not None:
             np.asarray(res.position)  # drain the tail
         wall = time.perf_counter() - t0
+        gc.enable()
         n_steady = len(scans) - start
         out = {"wall_ms": wall / max(n_steady, 1) * 1e3, "n": n_steady}
         if chunk_times:

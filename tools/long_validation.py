@@ -98,8 +98,10 @@ def main() -> None:
         cfg = dataclasses.replace(
             base,
             posegraph=dataclasses.replace(
-                base.posegraph, use=use_pg, min_index_gap=20,
-                loop_radius=6.0, check_every=64,
+                base.posegraph, use=use_pg,
+                min_index_gap=int(os.environ.get("LV_MIN_GAP", "20")),
+                loop_radius=float(os.environ.get("LV_LOOP_RADIUS", "12.0")),
+                check_every=64,
             ),
         )
         runner = OdometryRunner(cfg)
