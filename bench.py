@@ -519,14 +519,20 @@ def main() -> None:
                     scans[t], world.stamps[t], sync=(chunk == 1 and t % 8 == 0)
                 )
                 t += 1
-        # drain WITHOUT recording deltas: once dispatch stops, completions
-        # of finished chunks pop in ~0 s and would fake-improve the median
-        while pending:
-            np.asarray(pending.pop(0).position)
+        # drain: device programs execute in order, so ONE sync on the
+        # final result covers every enqueued chunk. Popping each pending
+        # result individually paid the tunnel's ~45 ms RTT once per chunk
+        # (~450 ms of pure transport on a ~250 ms compute loop). Stream
+        # mode does not reach here with a deep queue (its pops are the
+        # estimator); its leftovers drain the same way.
+        t_enq = time.perf_counter() - t0
+        pending.clear()
         if res is not None:
-            np.asarray(res.position)  # drain the tail
+            np.asarray(res.position)
         wall = time.perf_counter() - t0
         gc.enable()
+        print(f"# loop phases: enqueue {t_enq*1e3:.0f} ms, drain "
+              f"{(wall-t_enq)*1e3:.0f} ms", file=sys.stderr)
         n_steady = len(scans) - start
         out = {"wall_ms": wall / max(n_steady, 1) * 1e3, "n": n_steady}
         if chunk_times:
@@ -542,6 +548,7 @@ def main() -> None:
     head = measured_loop(runner, stream=args.stream)
     ms_wall = head["wall_ms"]
     n_steady = head["n"]
+    offline_passes = [ms_wall]
     if args.stream and "median_ms" in head:
         ms, estimator = head["median_ms"], "median_chunk"
     else:
@@ -573,6 +580,34 @@ def main() -> None:
             "error": f"diverged: ATE {ate.rmse:.3f} m (gate {gate:.2f})",
         }))
         return
+
+    # The measured window is short (~0.5 s of device work) and the
+    # tunneled transport stalls transiently (134-322 fps on identical
+    # code), so the offline headline is the MEDIAN of 3 independent
+    # passes — each a fresh runner re-processing every measured frame
+    # (full real work; trajectory was already scored from pass 1).
+    if not args.stream and chunk > 1 and not args.small:
+        for _ in range(2):
+            rp = OdometryRunner(cfg)
+            if args.imu:
+                rng_p = np.random.default_rng(7)
+                for t in range(1, len(scans)):
+                    for row in synthetic.make_imu_between(world, t, 100.0, rng_p):
+                        rp.push_imu(float(row[0]), row[1:4], row[4:7])
+            for t in range(warmup):
+                rp.process_scan(scans[t], world.stamps[t], sync=True)
+            r = rp.process_chunk(
+                scans[warmup : warmup + chunk],
+                [float(s) for s in world.stamps[warmup : warmup + chunk]],
+            )
+            np.asarray(r.position)
+            offline_passes.append(measured_loop(rp, stream=False)["wall_ms"])
+        ms = float(np.median(offline_passes))
+        ms_wall = ms
+        fps = 1000.0 / ms
+        estimator = "median_of_3_wall_avg"
+        print(f"# offline passes (ms/frame): "
+              + " ".join(f"{p:.2f}" for p in offline_passes), file=sys.stderr)
 
     # Chip-capability estimate: min over a few SYNCED chunks (dispatch ->
     # immediate sync, depth-1, input staged off-clock). NB each synced
@@ -642,6 +677,7 @@ def main() -> None:
         "vs_cpu_same_host_2core": round(fps / DLO_CPU_FPS_2CORE, 3),
         "protocol": protocol,
         "estimator": estimator,
+        "offline_passes_ms_per_frame": [round(p, 2) for p in offline_passes],
         "wall_avg_fps": round(1000.0 / ms_wall, 2),
         "synced_chunk_fps": round(1000.0 / ms_synced, 2),
         "ate_rmse_m": round(float(ate.rmse), 4),
