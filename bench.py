@@ -57,7 +57,8 @@ def production_cfg(small: bool = False):
     # - max_keyframes 128 (ring ops cost ~0.4 ms/frame at 512; 128 slots
     #   x ~5 m spacing covers ~600 m of map — plenty for bench sequences;
     #   the library default stays 512)
-    # Combined: 322 fps offline-protocol wall-avg, ATE 2.41 cm / 93 m.
+    # Combined: 280-311 fps offline protocol (median of 3 passes),
+    # ATE 1.69 cm / 93 m.
     base = base.replace(
         s2s_prior="constant_velocity",
         host_preprocess=True,
