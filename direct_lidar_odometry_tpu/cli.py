@@ -127,19 +127,18 @@ def main(argv=None) -> int:
     else:
         rng = np.random.default_rng(0)
         n_frames = args.frames or args.synthetic
-        # size the world to the configured raw-scan capacity so scans are
-        # never randomly subsampled (see synthetic.make_world docstring)
+        # ray-cast campus world (round 5): exact occlusion + OS1-64 beam
+        # model — the same realism class the bench and the C++ baseline
+        # run on. Beam resolution scales with the raw-scan capacity.
         if cfg.shapes.n_raw >= 65536:
-            world = synthetic.make_world(
-                rng, n_frames=n_frames, extent=60.0, n_boxes=40, speed=1.0,
-                ground_points=150000, density=25.0,
-            )
+            world = synthetic.make_urban_world(rng, n_frames=n_frames,
+                                               speed=1.0, n_dynamic=2)
+            beams = synthetic.BeamModel()
             max_range = 40.0
         else:
-            world = synthetic.make_world(
-                rng, n_frames=n_frames, extent=15.0, n_boxes=6, speed=0.4,
-                ground_points=8000, density=6.0,
-            )
+            world = synthetic.make_urban_world(
+                rng, n_frames=n_frames, speed=0.4, corridor=7.0, n_dynamic=1)
+            beams = synthetic.BeamModel(n_beams=32, n_azimuth=512)
             max_range = 13.0
         gt_poses = world.poses
 
@@ -147,7 +146,8 @@ def main(argv=None) -> int:
             for i in range(n_frames):
                 yield (
                     synthetic.render_scan(world, i, rng, max_range=max_range,
-                                          max_points=cfg.shapes.n_raw),
+                                          max_points=cfg.shapes.n_raw,
+                                          beams=beams),
                     float(world.stamps[i]),
                 )
 
